@@ -1,0 +1,199 @@
+"""Named test-stream scenarios built on tools/h264enc.py.
+
+Each generator returns (annexb_bytes, info dict). The reference decoder
+(build/oracle/dectest) defines golden YUV output for every scenario; the
+TPU decoder must match bit-exactly (reference test strategy: golden-output
+comparison, Decoder/src/DecTestBench.c:442).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import List
+
+from h264enc import (PpsConfig, SliceConfig, SpsConfig, write_pps,
+                     write_slice, write_sps)
+
+
+def _pcm_mb(rng, addr):
+    return {
+        "kind": "ipcm",
+        "addr": addr,
+        "luma": bytes(rng.randrange(256) for _ in range(256)),
+        "cb": bytes(rng.randrange(256) for _ in range(64)),
+        "cr": bytes(rng.randrange(256) for _ in range(64)),
+    }
+
+
+def ipcm_stream(width_mbs=4, height_mbs=3, n_frames=3, seed=7,
+                deblock=False):
+    """All-I_PCM IDR frames: exercises NAL/SPS/PPS/slice/MB plumbing and
+    raw sample writes without prediction or residuals."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2,
+                    num_ref_frames=1)
+    pps = PpsConfig()
+    out = [write_sps(sps), write_pps(pps)]
+    n_mbs = width_mbs * height_mbs
+    for f in range(n_frames):
+        cfg = SliceConfig(
+            slice_type="I", idr=True, idr_pic_id=f, frame_num=0,
+            sps=sps, pps=pps,
+            disable_deblocking_idc=1 if not deblock else 0)
+        mbs = [_pcm_mb(rng, a) for a in range(n_mbs)]
+        out.append(write_slice(cfg, mbs))
+    info = {"width": width_mbs * 16, "height": height_mbs * 16,
+            "n_frames": n_frames, "sps": sps, "pps": pps}
+    return b"".join(out), info
+
+
+from cavlc_enc import BLK_INDEX, BLK_ORDER  # noqa: E402
+
+
+class IntraModeTracker:
+    """Tracks per-4x4-block intra prediction modes across a slice to
+    (a) compute legal mode sets per block availability and (b) derive the
+    most-probable mode so the generator can emit prev_intra4x4_pred_mode
+    flags (spec 8.3.1.1)."""
+
+    def __init__(self, width_mbs, height_mbs):
+        self.w = width_mbs
+        self.h = height_mbs
+        # mode per 4x4 block in block coords; -1 = not intra4x4-coded
+        self.modes = [[-1] * (4 * width_mbs) for _ in range(4 * height_mbs)]
+        # MB availability per address: True once coded in this slice
+        self.mb_coded = [False] * (width_mbs * height_mbs)
+        self.mb_i4x4 = [False] * (width_mbs * height_mbs)
+
+    def _mb_avail(self, addr):
+        return addr >= 0 and self.mb_coded[addr]
+
+    def block_avail(self, addr, blk):
+        """(up_avail, left_avail) for luma 4x4 block `blk` of MB `addr`."""
+        bx, by = BLK_ORDER[blk]
+        mbx, mby = addr % self.w, addr // self.w
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        if by == 0:
+            up = mby > 0 and self._mb_avail(addr - self.w)
+        else:
+            up = True
+        if bx == 0:
+            left = mbx > 0 and self._mb_avail(addr - 1)
+        else:
+            left = True
+        return up, left, gx, gy
+
+    def legal_modes(self, addr, blk):
+        up, left, _, _ = self.block_avail(addr, blk)
+        legal = [2]
+        if up:
+            legal += [0, 3, 7]
+        if left:
+            legal += [1, 8]
+        if up and left:
+            # modes 4,5,6 need the up-left pel: available iff both up and
+            # left MB-rows exist; up-left corner handled by h264bsd via
+            # neighbouring MB D. Require the D MB too for border blocks.
+            bx, by = BLK_ORDER[blk]
+            mbx, mby = addr % self.w, addr // self.w
+            if bx == 0 and by == 0:
+                dd = mbx > 0 and mby > 0 and self._mb_avail(addr - self.w - 1)
+            elif bx == 0:
+                dd = mbx > 0 and self._mb_avail(addr - 1)
+            elif by == 0:
+                dd = mby > 0 and self._mb_avail(addr - self.w)
+            else:
+                dd = True
+            if dd:
+                legal += [4, 5, 6]
+        return legal
+
+    def most_probable(self, addr, blk):
+        bx, by = BLK_ORDER[blk]
+        mbx, mby = addr % self.w, addr // self.w
+        gx, gy = mbx * 4 + bx, mby * 4 + by
+        # neighbour A: left block, B: up block
+        if gx == 0 or (bx == 0 and not self._mb_avail(addr - 1)):
+            ma = None
+        else:
+            ma = self.modes[gy][gx - 1]
+        if gy == 0 or (by == 0 and not self._mb_avail(addr - self.w)):
+            mb = None
+        else:
+            mb = self.modes[gy - 1][gx]
+        if ma is None or mb is None:
+            return 2
+        ma = 2 if ma < 0 else ma
+        mb = 2 if mb < 0 else mb
+        return min(ma, mb)
+
+    def legal_chroma_modes(self, addr):
+        mbx, mby = addr % self.w, addr // self.w
+        up = mby > 0 and self._mb_avail(addr - self.w)
+        left = mbx > 0 and self._mb_avail(addr - 1)
+        legal = [0]                     # DC always
+        if left:
+            legal.append(1)
+        if up:
+            legal.append(2)
+        if up and left and self._mb_avail(addr - self.w - 1):
+            legal.append(3)
+        return legal
+
+    def set_mode(self, addr, blk, mode):
+        bx, by = BLK_ORDER[blk]
+        mbx, mby = addr % self.w, addr // self.w
+        self.modes[mby * 4 + by][mbx * 4 + bx] = mode
+
+    def mark_mb(self, addr, i4x4=False):
+        self.mb_coded[addr] = True
+        self.mb_i4x4[addr] = i4x4
+
+    def random_i4x4_mb(self, rng, addr, cbp=0, residual=None):
+        """Pick legal random modes for all 16 blocks; returns the mb dict."""
+        modes_syntax = []
+        for blk in range(16):
+            legal = self.legal_modes(addr, blk)
+            mp = self.most_probable(addr, blk)
+            if rng.random() < 0.3 and mp in legal:
+                mode = mp
+                modes_syntax.append((1, 0))
+            else:
+                mode = rng.choice(legal)
+                if mode == mp:
+                    modes_syntax.append((1, 0))
+                else:
+                    rem = mode if mode < mp else mode - 1
+                    modes_syntax.append((0, rem))
+            self.set_mode(addr, blk, mode)
+        chroma_mode = rng.choice(self.legal_chroma_modes(addr))
+        self.mark_mb(addr, i4x4=True)
+        return {"kind": "i4x4", "addr": addr, "modes": modes_syntax,
+                "chroma_mode": chroma_mode, "cbp": cbp, "residual": residual}
+
+
+def i4x4_flat_stream(width_mbs=4, height_mbs=3, n_frames=2, seed=3,
+                     deblock=False):
+    """Intra 4x4 MBs with cbp=0 (no residual): pure intra prediction from
+    neighbours. I_PCM MBs are scattered in so predictors see non-flat data."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2)
+    pps = PpsConfig()
+    out = [write_sps(sps), write_pps(pps)]
+    n_mbs = width_mbs * height_mbs
+    for f in range(n_frames):
+        cfg = SliceConfig(slice_type="I", idr=True, idr_pic_id=f,
+                          sps=sps, pps=pps,
+                          disable_deblocking_idc=1 if not deblock else 0)
+        tracker = IntraModeTracker(width_mbs, height_mbs)
+        mbs = []
+        for a in range(n_mbs):
+            if (a + f) % 3 == 0:
+                mbs.append(_pcm_mb(rng, a))
+                tracker.mark_mb(a)
+            else:
+                mbs.append(tracker.random_i4x4_mb(rng, a))
+        out.append(write_slice(cfg, mbs))
+    info = {"width": width_mbs * 16, "height": height_mbs * 16,
+            "n_frames": n_frames}
+    return b"".join(out), info
