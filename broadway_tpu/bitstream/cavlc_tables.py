@@ -172,6 +172,27 @@ RUN_BEFORE = {
 }
 
 
+# --- Table 9-4: coded_block_pattern mapped Exp-Golomb -----------------------
+# cbp value (0..47) -> codeNum, for Intra_4x4 and Inter prediction modes.
+CBP_TO_CODENUM_INTRA = [
+    3, 29, 30, 17, 31, 18, 37, 8, 32, 38, 19, 9, 20, 10, 11, 2,
+    16, 33, 34, 21, 35, 22, 39, 4, 36, 40, 23, 5, 24, 6, 7, 1,
+    41, 42, 43, 25, 44, 26, 46, 12, 45, 47, 27, 13, 28, 14, 15, 0,
+]
+CBP_TO_CODENUM_INTER = [
+    0, 2, 3, 7, 4, 8, 17, 13, 5, 18, 9, 14, 10, 15, 16, 11,
+    1, 32, 33, 36, 34, 37, 44, 40, 35, 45, 38, 41, 39, 42, 43, 19,
+    6, 24, 25, 20, 26, 21, 46, 28, 27, 47, 22, 29, 23, 30, 31, 12,
+]
+
+CODENUM_TO_CBP_INTRA = [0] * 48
+CODENUM_TO_CBP_INTER = [0] * 48
+for _cbp, _cn in enumerate(CBP_TO_CODENUM_INTRA):
+    CODENUM_TO_CBP_INTRA[_cn] = _cbp
+for _cbp, _cn in enumerate(CBP_TO_CODENUM_INTER):
+    CODENUM_TO_CBP_INTER[_cn] = _cbp
+
+
 def build_prefix_decoder(table):
     """Invert a {(key): (len, bits)} or [(len, bits)] table into a dict
     mapping (len, bits) -> key for MSB-first longest-prefix decode."""

@@ -1,0 +1,314 @@
+"""Decode engine top control: NAL dispatch, parameter-set storage and
+activation, access-unit boundary detection, picture lifecycle, DPB/POC.
+
+Reference: h264bsd_decoder.c:162 h264bsdDecode, h264bsd_storage.c
+(h264bsdStoreSeqParamSet :128, StorePicParamSet :211, ActivateParamSets
+:298, CheckAccessUnitBoundary :632).
+
+TPU-first architecture (SURVEY.md §7): this host layer drives
+  Stage A  bitstream front-end  -> dense per-MB tensors (bitstream/)
+  Stage B  pixel backend        -> whole-picture reconstruction (ops/)
+  Stage C  frame state          -> DPB / POC / output ordering (core/)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..bitstream import bitreader as br
+from ..bitstream.bitreader import BitReader, NalUnit, StreamError
+from ..bitstream.frontend import decode_slice_data
+from ..bitstream.mb_layer import MbParser, PictureData
+from ..bitstream.params import Pps, Sps, parse_pps, parse_sps
+from ..bitstream.slice_group_map import build_slice_group_map
+from ..bitstream.slice_header import (I_SLICE, P_SLICE, SliceHeader,
+                                      parse_slice_header)
+from . import deblock as deblock_mod
+from .dpb import Dpb, DpbPicture
+from .poc import PocState, decode_poc
+from .recon_cpu import Frame, reconstruct_picture
+
+
+@dataclasses.dataclass
+class OutputPicture:
+    frame: Frame
+    is_idr: bool
+    pic_id: int
+    num_err_mbs: int
+    width: int
+    height: int
+    crop: Optional[tuple]
+
+
+class _AubState:
+    """Previous-NAL syntax values for AU boundary detection."""
+
+    def __init__(self) -> None:
+        self.first_call = True
+        self.prev_frame_num = -1
+        self.prev_idr_pic_id = -1
+        self.prev_poc_lsb = -1
+        self.prev_delta_poc_bottom = 0
+        self.prev_delta_poc = [0, 0]
+        self.prev_nal_ref_idc = -1
+        self.prev_nal_type = -1
+
+
+class Decoder:
+    """Single-stream decode engine (NumPy backend; the jitted TPU backend
+    plugs in via `backend`)."""
+
+    def __init__(self, no_reordering: bool = False,
+                 backend: str = "cpu") -> None:
+        self.sps_store: Dict[int, Sps] = {}
+        self.pps_store: Dict[int, Pps] = {}
+        self.active_sps_id: Optional[int] = None
+        self.active_pps_id: Optional[int] = None
+        self.sps: Optional[Sps] = None
+        self.pps: Optional[Pps] = None
+        self.no_reordering = no_reordering
+        self.backend = backend
+        self.dpb: Optional[Dpb] = None
+        self.poc_state = PocState()
+        self.aub = _AubState()
+        self.outputs: List[OutputPicture] = []
+        # current picture state
+        self.pic: Optional[PictureData] = None
+        self.parser: Optional[MbParser] = None
+        self.pic_header: Optional[SliceHeader] = None
+        self.n_decoded_mbs = 0
+        self.slice_count = 0
+        self.pic_number = 0
+        self.headers_ready = False
+
+    # ------------------------------------------------------------------
+    def decode_annexb(self, data: bytes, flush: bool = True
+                      ) -> List[OutputPicture]:
+        """Decode a whole Annex-B stream; returns display-order outputs."""
+        for _, payload in br.split_nal_units(data):
+            try:
+                nal = NalUnit(payload)
+            except StreamError:
+                continue
+            self.decode_nal(nal)
+        if flush:
+            self.flush()
+        out, self.outputs = self.outputs, []
+        return out
+
+    def flush(self) -> None:
+        if self.dpb is not None:
+            self.dpb.flush()
+            self._drain()
+
+    # ------------------------------------------------------------------
+    def decode_nal(self, nal: NalUnit) -> None:
+        t = nal.nal_type
+        if t == br.NAL_SPS:
+            s = parse_sps(BitReader(nal.rbsp))
+            self.sps_store[s.sps_id] = s
+            return
+        if t == br.NAL_PPS:
+            p = parse_pps(BitReader(nal.rbsp))
+            self.pps_store[p.pps_id] = p
+            return
+        if t in (br.NAL_SLICE, br.NAL_SLICE_IDR):
+            self._decode_slice_nal(nal)
+            return
+        if t in (br.NAL_SEI, br.NAL_AUD, br.NAL_END_OF_SEQ,
+                 br.NAL_END_OF_STREAM, br.NAL_FILLER):
+            return  # skipped, like the reference (h264bsd_decoder.c:480)
+        # unknown NAL types are skipped
+
+    # ------------------------------------------------------------------
+    def _check_au_boundary(self, nal: NalUnit, r: BitReader) -> bool:
+        """Peek-parse slice header ids; returns True if this slice starts
+        a new access unit (mirrors h264bsdCheckAccessUnitBoundary)."""
+        a = self.aub
+        new_au = False
+        if a.first_call:
+            new_au = True
+            a.first_call = False
+        pos = r.pos
+        r.ue()  # first_mb
+        r.ue()  # slice_type
+        pps_id = r.ue()
+        pps = self.pps_store.get(pps_id)
+        if pps is None:
+            raise StreamError("slice refers to missing PPS")
+        sps = self.sps_store.get(pps.sps_id)
+        if sps is None:
+            raise StreamError("slice refers to missing SPS")
+        if (a.prev_nal_ref_idc != nal.ref_idc and
+                (a.prev_nal_ref_idc == 0 or nal.ref_idc == 0)):
+            new_au = True
+        idr = nal.nal_type == br.NAL_SLICE_IDR
+        prev_idr = a.prev_nal_type == br.NAL_SLICE_IDR
+        if idr != prev_idr:
+            new_au = True
+        frame_num = r.u((sps.max_frame_num - 1).bit_length())
+        if a.prev_frame_num != frame_num:
+            a.prev_frame_num = frame_num
+            new_au = True
+        if idr:
+            idr_pic_id = r.ue()
+            if prev_idr and a.prev_idr_pic_id != idr_pic_id:
+                new_au = True
+            a.prev_idr_pic_id = idr_pic_id
+        if sps.poc_type == 0:
+            lsb = r.u((sps.max_pic_order_cnt_lsb - 1).bit_length())
+            if a.prev_poc_lsb != lsb:
+                a.prev_poc_lsb = lsb
+                new_au = True
+            if pps.pic_order_present:
+                d = r.se()
+                if a.prev_delta_poc_bottom != d:
+                    a.prev_delta_poc_bottom = d
+                    new_au = True
+        elif sps.poc_type == 1 and not sps.delta_pic_order_always_zero:
+            d0 = r.se()
+            if a.prev_delta_poc[0] != d0:
+                a.prev_delta_poc[0] = d0
+                new_au = True
+            if pps.pic_order_present:
+                d1 = r.se()
+                if a.prev_delta_poc[1] != d1:
+                    a.prev_delta_poc[1] = d1
+                    new_au = True
+        a.prev_nal_ref_idc = nal.ref_idc
+        a.prev_nal_type = nal.nal_type
+        r.pos = pos
+        return new_au
+
+    # ------------------------------------------------------------------
+    def _activate(self, pps_id: int, is_idr: bool) -> None:
+        pps = self.pps_store.get(pps_id)
+        if pps is None:
+            raise StreamError("activation of missing PPS")
+        sps = self.sps_store.get(pps.sps_id)
+        if sps is None:
+            raise StreamError("activation of missing SPS")
+        if self.active_sps_id != sps.sps_id:
+            if self.active_sps_id is not None and not is_idr:
+                raise StreamError("SPS change on non-IDR picture")
+            # (re)allocate DPB for the new sequence
+            self.dpb = Dpb(sps.dpb_size(), max(sps.num_ref_frames, 1),
+                           sps.max_frame_num, self.no_reordering)
+            self.poc_state = PocState()
+            self.active_sps_id = sps.sps_id
+            self.headers_ready = True
+        self.active_pps_id = pps_id
+        self.sps = sps
+        self.pps = pps
+
+    # ------------------------------------------------------------------
+    def _decode_slice_nal(self, nal: NalUnit) -> None:
+        r = BitReader(nal.rbsp)
+        new_au = self._check_au_boundary(nal, r)
+        if new_au and self.pic is not None:
+            self._finish_picture(concealed=True)
+
+        # activation happens on the first slice of the picture
+        pos = r.pos
+        r.ue()
+        r.ue()
+        pps_id = r.ue()
+        r.pos = pos
+        if self.pic is None:
+            self._activate(pps_id, nal.nal_type == br.NAL_SLICE_IDR)
+        elif pps_id != self.active_pps_id:
+            self._activate(pps_id, nal.nal_type == br.NAL_SLICE_IDR)
+
+        header = parse_slice_header(r, nal.nal_type, nal.ref_idc,
+                                    self.sps, self.pps)
+
+        if self.pic is None:
+            self._start_picture(header)
+
+        # reference picture list for this slice
+        ref_slots: List[int] = []
+        if header.slice_type == P_SLICE:
+            self.dpb.init_ref_pic_list()
+            self.dpb.reorder_ref_pic_list(header.ref_list_mods,
+                                          header.frame_num,
+                                          header.num_ref_idx_l0)
+            for i in range(header.num_ref_idx_l0):
+                p = self.dpb.list[i]
+                if p is None:
+                    raise StreamError("ref list shorter than active refs")
+                ref_slots.append(self.dpb.buffer.index(p))
+
+        sg_map = build_slice_group_map(self.sps, self.pps,
+                                       header.slice_group_change_cycle)
+        slice_id = self.slice_count
+        self.slice_count += 1
+        n = decode_slice_data(r, self.pic, self.parser, header, self.sps,
+                              self.pps, sg_map, slice_id, ref_slots)
+        self.n_decoded_mbs += n
+
+        if self.n_decoded_mbs >= self.pic.n_mbs:
+            self._finish_picture(concealed=False)
+
+    # ------------------------------------------------------------------
+    def _start_picture(self, header: SliceHeader) -> None:
+        sps = self.sps
+        self.pic = PictureData(sps.width_mbs, sps.height_mbs)
+        self.parser = MbParser(self.pic, self.pps.constrained_intra_pred)
+        self.pic_header = header
+        self.n_decoded_mbs = 0
+        self.slice_count = 0
+        self.dpb.allocate_picture()
+
+    def _finish_picture(self, concealed: bool) -> None:
+        pic, header = self.pic, self.pic_header
+        sps, pps = self.sps, self.pps
+        self.pic, self.pic_header = None, None
+
+        num_err = pic.n_mbs - int(pic.decoded.sum())
+        if num_err and not concealed:
+            raise StreamError("incomplete picture")
+        if num_err:
+            # concealment not yet implemented: missing MBs stay gray
+            pass
+
+        # reconstruct
+        ref_frames = {i: p.frame for i, p in enumerate(self.dpb.buffer)
+                      if p.frame is not None}
+        frame = reconstruct_picture(pic, pps.chroma_qp_index_offset,
+                                    pps.constrained_intra_pred, ref_frames,
+                                    sps.width, sps.height)
+        # in-loop deblocking
+        deblock_mod.filter_picture(frame, pic, pps.chroma_qp_index_offset)
+
+        cur_mmco5 = any(m.op == 5 for m in header.mmco)
+        poc = decode_poc(sps, header, self.poc_state, header.nal_ref_idc,
+                         cur_mmco5)
+        if cur_mmco5:
+            poc = 0
+
+        self.dpb.current.frame = frame
+        self.dpb.mark_decoded_ref_pic(
+            is_ref=header.nal_ref_idc != 0,
+            mmco=header.mmco,
+            adaptive=header.adaptive_ref_pic_marking,
+            frame_num=header.frame_num,
+            poc=poc,
+            is_idr=header.idr,
+            no_output_of_prior=header.no_output_of_prior_pics,
+            long_term_ref=header.long_term_reference,
+            pic_id=self.pic_number,
+            num_err_mbs=num_err)
+        self.pic_number += 1
+        self.dpb.prev_ref_frame_num = header.frame_num \
+            if header.nal_ref_idc else self.dpb.prev_ref_frame_num
+        self._drain()
+
+    def _drain(self) -> None:
+        for p in self.dpb.drain_outputs():
+            self.outputs.append(OutputPicture(
+                frame=p.frame, is_idr=p.is_idr, pic_id=p.pic_id,
+                num_err_mbs=p.num_err_mbs, width=self.sps.width,
+                height=self.sps.height, crop=self.sps.crop))

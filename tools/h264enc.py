@@ -232,18 +232,13 @@ def write_pps(c: PpsConfig) -> bytes:
 #    "mvds": [[(dx,dy) per sub-part] x4], "cbp": n, "residual": ..., ...}
 #   {"kind": "skip"}   (P slices only)
 
-# Mapped Exp-Golomb codeNum for coded_block_pattern (spec table 9-4,
-# intra / inter columns), indexed by CBP value 0..47.
-CBP_TO_CODENUM_INTRA = [
-    3, 29, 30, 17, 31, 18, 37, 8, 32, 38, 19, 9, 20, 10, 11, 2,
-    16, 33, 34, 21, 35, 22, 39, 4, 36, 40, 23, 5, 24, 6, 7, 1,
-    41, 42, 43, 25, 44, 26, 46, 12, 45, 47, 27, 13, 28, 14, 15, 0,
-]
-CBP_TO_CODENUM_INTER = [
-    0, 2, 3, 7, 4, 8, 17, 13, 5, 18, 9, 14, 10, 15, 16, 11,
-    1, 32, 33, 36, 34, 37, 44, 40, 35, 45, 38, 41, 39, 42, 43, 19,
-    6, 24, 25, 20, 26, 21, 46, 28, 27, 47, 22, 29, 23, 30, 31, 12,
-]
+# Mapped Exp-Golomb codeNum for coded_block_pattern (spec table 9-4) —
+# shared with the decoder.
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), ".."))
+from broadway_tpu.bitstream.cavlc_tables import (  # noqa: E402
+    CBP_TO_CODENUM_INTER, CBP_TO_CODENUM_INTRA)
 
 
 def _write_mb_i4x4(w: BitWriter, mb: dict) -> None:
