@@ -54,3 +54,15 @@ def test_i4x4_larger_golden(oracle_dectest, tmp_path):
     data, info = streams.i4x4_flat_stream(width_mbs=6, height_mbs=5,
                                           n_frames=3, seed=11)
     golden_compare(tmp_path, oracle_dectest, data, "i4b")
+
+
+def test_intra_mixed_golden(oracle_dectest, tmp_path):
+    data, info = streams.intra_mixed_stream()
+    golden_compare(tmp_path, oracle_dectest, data, "imix")
+
+
+def test_intra_mixed_qp_extremes(oracle_dectest, tmp_path):
+    for qp, seed in ((6, 31), (12, 32), (40, 33), (51, 34), (0, 35)):
+        data, info = streams.intra_mixed_stream(width_mbs=3, height_mbs=3,
+                                                n_frames=2, seed=seed, qp=qp)
+        golden_compare(tmp_path, oracle_dectest, data, f"imixq{qp}")

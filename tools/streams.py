@@ -172,6 +172,176 @@ class IntraModeTracker:
                 "chroma_mode": chroma_mode, "cbp": cbp, "residual": residual}
 
 
+def _rand_coeffs(rng, n, density=0.4, pool=(1, -1, 2, -3, 5, -8, 15, -25)):
+    """Random scan-order coefficient list of length n."""
+    return [rng.choice(pool) if rng.random() < density else 0
+            for _ in range(n)]
+
+
+def _residual_in_range(rd, kind, qp, chroma_qp_offset=0):
+    """Check the reference's [-512,511] IDCT output rule
+    (h264bsd_transform.c:94) using our own transform kernels."""
+    import numpy as np
+    from broadway_tpu.ops import transform as T
+    qpa = np.array([qp], np.int32)
+    if kind == "i16":
+        dcs = T.luma_dc_transform(
+            np.array([(rd.luma_dc or [0] * 16)], np.int32), qpa)[0].reshape(16)
+        for blk in range(16):
+            coeffs = np.zeros(16, np.int32)
+            ac = rd.luma.get(blk)
+            if ac:
+                coeffs[1:16] = ac
+            # DC order: dcs raster index = by*4+bx; blk is z-order
+            from cavlc_enc import BLK_ORDER
+            bx, by = BLK_ORDER[blk]
+            r = T.dequant_idct(coeffs[None], qpa,
+                               dc=np.array([dcs[by * 4 + bx]], np.int32))
+            if r.min() < -512 or r.max() > 511:
+                return False
+    else:
+        for blk, ac in rd.luma.items():
+            r = T.dequant_idct(np.array([ac + [0] * (16 - len(ac))],
+                                        np.int32), qpa)
+            if r.min() < -512 or r.max() > 511:
+                return False
+    qpc = int(T.QP_C[min(max(qp + chroma_qp_offset, 0), 51)])
+    qpca = np.array([qpc], np.int32)
+    for comp in range(2):
+        dcin = rd.chroma_dc.get(comp)
+        dcs = T.chroma_dc_transform(
+            np.array([dcin + [0] * (4 - len(dcin)) if dcin else [0] * 4],
+                     np.int32), qpca)[0]
+        for blk in range(4):
+            coeffs = np.zeros(16, np.int32)
+            ac = rd.chroma_ac.get((comp, blk))
+            if ac:
+                coeffs[1:16] = ac
+            r = T.dequant_idct(coeffs[None], qpca,
+                               dc=np.array([dcs[blk]], np.int32))
+            if r.min() < -512 or r.max() > 511:
+                return False
+    return True
+
+
+def _rand_residual(rng, kind, cbp, cbp_chroma, qp=28, chroma_qp_offset=0):
+    """ResidualData for an MB, guaranteed within the reference's IDCT
+    range rules. kind: 'i4x4'|'i16'|'inter'."""
+    from cavlc_enc import ResidualData
+    ladder = [((1, -1, 2, -3, 5, -8, 15, -25), 0.4, 0.5),
+              ((1, -1, 2, -3, 5, -8, 15, -25), 0.4, 0.5),
+              ((1, -1, 2, -2, 4, -4), 0.35, 0.4),
+              ((1, -1, 2, -2, 4, -4), 0.35, 0.4),
+              ((1, -1, 2, -2), 0.3, 0.3),
+              ((1, -1, 2, -2), 0.3, 0.3),
+              ((1, -1), 0.2, 0.2),
+              ((1, -1), 0.15, 0.15),
+              ((1, -1), 0.08, 0.08),
+              ((1, -1), 0.04, 0.04)]
+    for pool, density, dc_density in ladder:
+        rd = ResidualData()
+        if kind == "i16":
+            rd.luma_dc = _rand_coeffs(rng, 16, dc_density, pool)
+            nluma = 15
+        else:
+            nluma = 16
+        rd.luma = {}
+        for blk8 in range(4):
+            if cbp & (1 << blk8):
+                for sub in range(4):
+                    blk = blk8 * 4 + sub
+                    if rng.random() < 0.8:
+                        rd.luma[blk] = _rand_coeffs(rng, nluma, density, pool)
+        if cbp_chroma:
+            for comp in range(2):
+                rd.chroma_dc[comp] = _rand_coeffs(rng, 4, dc_density, pool)
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for blk in range(4):
+                    if rng.random() < 0.7:
+                        rd.chroma_ac[(comp, blk)] = _rand_coeffs(
+                            rng, 15, density, pool)
+        if _residual_in_range(rd, kind, qp, chroma_qp_offset):
+            return rd
+    return ResidualData()  # empty residual always passes
+
+
+def _i16_legal_modes(tracker, addr):
+    w = tracker.w
+    mbx, mby = addr % w, addr // w
+    up = mby > 0 and tracker._mb_avail(addr - w)
+    left = mbx > 0 and tracker._mb_avail(addr - 1)
+    legal = [2]
+    if up:
+        legal.append(0)
+    if left:
+        legal.append(1)
+    if up and left and tracker._mb_avail(addr - w - 1):
+        legal.append(3)
+    return legal
+
+
+def intra_mixed_stream(width_mbs=5, height_mbs=4, n_frames=3, seed=21,
+                       deblock=False, qp=28):
+    """I frames mixing I_PCM / Intra4x4 / Intra16x16 with CAVLC residuals,
+    random CBPs and mb_qp_delta — exercises the full intra + transform
+    path."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2)
+    pps = PpsConfig(pic_init_qp=qp)
+    out = [write_sps(sps), write_pps(pps)]
+    n_mbs = width_mbs * height_mbs
+    for f in range(n_frames):
+        cur_qp = qp
+        cfg = SliceConfig(slice_type="I", idr=True, idr_pic_id=f,
+                          sps=sps, pps=pps, slice_qp=qp, pic_init_qp=qp,
+                          disable_deblocking_idc=1 if not deblock else 0)
+        tracker = IntraModeTracker(width_mbs, height_mbs)
+        mbs = []
+        for a in range(n_mbs):
+            kind = rng.choices(["ipcm", "i4x4", "i16"],
+                               weights=[1, 3, 3])[0]
+            if kind == "ipcm":
+                mbs.append(_pcm_mb(rng, a))
+                tracker.mark_mb(a)
+                continue
+            if kind == "i16":
+                mode = rng.choice(_i16_legal_modes(tracker, a))
+                cbp_luma = rng.choice([0, 1])
+                cbp_chroma = rng.randrange(3)
+                qd = rng.choice([0, 0, 0, 1, -1, 2, -3])
+                if not (0 <= cur_qp + qd <= 51):
+                    qd = 0
+                cur_qp += qd
+                rd = _rand_residual(rng, "i16", 15 if cbp_luma else 0,
+                                    cbp_chroma, qp=cur_qp)
+                mbs.append({"kind": "i16", "addr": a, "pred_mode": mode,
+                            "cbp_luma": cbp_luma, "cbp_chroma": cbp_chroma,
+                            "chroma_mode": rng.choice(
+                                tracker.legal_chroma_modes(a)),
+                            "qp_delta": qd, "residual": rd})
+                tracker.mark_mb(a)
+                continue
+            # i4x4 with residuals
+            cbp_luma = rng.randrange(16)
+            cbp_chroma = rng.randrange(3)
+            cbp = cbp_luma | (cbp_chroma << 4)
+            mb = tracker.random_i4x4_mb(rng, a, cbp=cbp)
+            if cbp:
+                qd = rng.choice([0, 0, 1, -1])
+                if not (0 <= cur_qp + qd <= 51):
+                    qd = 0
+                cur_qp += qd
+                mb["qp_delta"] = qd
+                mb["residual"] = _rand_residual(rng, "i4x4", cbp_luma,
+                                                cbp_chroma, qp=cur_qp)
+            mbs.append(mb)
+        out.append(write_slice(cfg, mbs))
+    info = {"width": width_mbs * 16, "height": height_mbs * 16,
+            "n_frames": n_frames}
+    return b"".join(out), info
+
+
 def i4x4_flat_stream(width_mbs=4, height_mbs=3, n_frames=2, seed=3,
                      deblock=False):
     """Intra 4x4 MBs with cbp=0 (no residual): pure intra prediction from
