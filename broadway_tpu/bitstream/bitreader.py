@@ -126,7 +126,9 @@ class BitReader:
         return -(k >> 1)
 
     def te(self, value_range: int) -> int:
-        if value_range == 1:
+        """`value_range` = number of possible values; 1-bit inverted form
+        when only 0/1 are possible (spec 9.1.1)."""
+        if value_range == 2:
             return 1 - self.u(1)
         return self.ue()
 

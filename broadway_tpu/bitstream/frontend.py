@@ -46,38 +46,41 @@ def decode_slice_data(r: BitReader, pic: PictureData, parser: MbParser,
     is_p = header.slice_type == P_SLICE
     num_ref = header.num_ref_idx_l0
     n_decoded = 0
-    more = True
+    skip_run = 0
+    prev_skipped = False
 
     ref_slot0 = ref_slots[0] if ref_slots else -1
 
-    while more:
-        if addr < 0:
-            raise SliceDataError("slice overruns picture", addr)
-        if is_p:
-            skip_run = r.ue()
-            if skip_run > pic.n_mbs:
-                raise SliceDataError("invalid mb_skip_run", addr)
-            for _ in range(skip_run):
-                if addr < 0:
-                    raise SliceDataError("skip run overruns picture", addr)
-                if pic.decoded[addr]:
-                    raise SliceDataError("MB decoded twice", addr)
-                pic.slice_id[addr] = slice_id
-                parse_p_skip(parser, addr, ref_slot0)
-                pic.qp[addr] = qp
-                n_decoded += 1
-                addr = next_mb_address(sg_map, addr)
-            more = r.more_rbsp_data()
-            if not more:
-                break
+    # loop structure mirrors h264bsdDecodeSliceData :130-223 exactly:
+    # skip_run is read once at the start of a run; the MB following a run
+    # is parsed without a new skip_run; data left with no next address in
+    # the slice group is an error.
+    while True:
         if addr < 0:
             raise SliceDataError("slice overruns picture", addr)
         if pic.decoded[addr]:
             raise SliceDataError("MB decoded twice", addr)
+        if is_p and not prev_skipped:
+            skip_run = r.ue()
+            if skip_run > pic.n_mbs - addr:
+                raise SliceDataError("invalid mb_skip_run", addr)
+            if skip_run:
+                prev_skipped = True
         pic.slice_id[addr] = slice_id
-        qp = parse_macroblock(r, parser, addr, header.slice_type, qp,
-                              num_ref, ref_slots, pps.chroma_qp_index_offset)
+        if skip_run:
+            parse_p_skip(parser, addr, ref_slot0)
+            pic.qp[addr] = qp
+            skip_run -= 1
+        else:
+            prev_skipped = False
+            qp = parse_macroblock(r, parser, addr, header.slice_type, qp,
+                                  num_ref, ref_slots,
+                                  pps.chroma_qp_index_offset)
         n_decoded += 1
+        more = r.more_rbsp_data() or skip_run > 0
         addr = next_mb_address(sg_map, addr)
-        more = r.more_rbsp_data()
+        if more and addr < 0:
+            raise SliceDataError("next mb address", addr)
+        if not more:
+            break
     return n_decoded

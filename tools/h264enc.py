@@ -50,8 +50,10 @@ class BitWriter:
             self.ue(2 * val - 1)
 
     def te(self, val: int, value_range: int) -> None:
-        """Truncated Exp-Golomb: 1-bit inverted when range == 1."""
-        if value_range == 1:
+        """Truncated Exp-Golomb: `value_range` = number of possible values;
+        the 1-bit inverted form applies when only 0/1 are possible
+        (spec 9.1.1; h264bsd_vlc.c h264bsdDecodeExpGolombTruncated)."""
+        if value_range == 2:
             self.u(1, 1 - val)
         else:
             self.ue(val)
@@ -354,7 +356,10 @@ def write_slice(cfg: SliceConfig, mbs: List[dict]) -> bytes:
             w.ue(skip_run)
             skip_run = 0
         qp = _write_mb(w, mb, ctx, qp)
-    if is_p:
+    # trailing skip_run only when the slice ends in skipped MBs — a run
+    # after the final regular MB is rejected by the reference
+    # (h264bsd_slice_data.c:213 "Next mb address")
+    if is_p and skip_run:
         w.ue(skip_run)
     w.rbsp_trailing_bits()
     nal_type = 5 if cfg.idr else 1
@@ -408,7 +413,8 @@ def _write_mb(w: BitWriter, mb: dict, ctx, qp: int) -> int:
 
     if kind == "p16x16":
         w.ue(0)
-        w.te(mb.get("ref_idx", 0), mb["num_ref"])
+        if mb["num_ref"] > 1:
+            w.te(mb.get("ref_idx", 0), mb["num_ref"])
         w.se(mb["mvd"][0])
         w.se(mb["mvd"][1])
         cbp = mb["cbp"]
@@ -425,8 +431,9 @@ def _write_mb(w: BitWriter, mb: dict, ctx, qp: int) -> int:
     if kind == "pNxM":
         # P_L0_16x8 (mb_type 1) or P_L0_8x16 (mb_type 2): two partitions.
         w.ue(mb["mb_type"])
-        for r in mb["ref_idx"]:
-            w.te(r, mb["num_ref"])
+        if mb["num_ref"] > 1:
+            for r in mb["ref_idx"]:
+                w.te(r, mb["num_ref"])
         for dx, dy in mb["mvds"]:
             w.se(dx)
             w.se(dy)
@@ -445,7 +452,7 @@ def _write_mb(w: BitWriter, mb: dict, ctx, qp: int) -> int:
         w.ue(mb.get("mb_type", 3))  # 3 = P_8x8, 4 = P_8x8ref0
         for st in mb["sub_types"]:
             w.ue(st)
-        if mb.get("mb_type", 3) != 4:
+        if mb.get("mb_type", 3) != 4 and mb["num_ref"] > 1:
             for r in mb["ref_idx"]:
                 w.te(r, mb["num_ref"])
         for part_mvds in mb["mvds"]:

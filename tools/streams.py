@@ -367,3 +367,127 @@ def i4x4_flat_stream(width_mbs=4, height_mbs=3, n_frames=2, seed=3,
     info = {"width": width_mbs * 16, "height": height_mbs * 16,
             "n_frames": n_frames}
     return b"".join(out), info
+
+
+def inter_stream(width_mbs=5, height_mbs=4, n_frames=6, seed=77, qp=28,
+                 num_ref_frames=1, deblock=False, mvd_range=40,
+                 p8x8=True, intra_in_p=True, multi_ref_idx=False,
+                 log2_max_frame_num=5):
+    """IDR + P frames exercising P_Skip, 16x16/16x8/8x16/8x8 partitions
+    with sub-partitions, quarter-pel MVs (incl. out-of-picture for edge
+    extension), inter residuals, multi-reference, and intra MBs inside
+    P slices."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2,
+                    num_ref_frames=num_ref_frames,
+                    log2_max_frame_num=log2_max_frame_num)
+    pps = PpsConfig(pic_init_qp=qp)
+    out = [write_sps(sps), write_pps(pps)]
+    n_mbs = width_mbs * height_mbs
+
+    def mvd(scale=1):
+        return (rng.randint(-mvd_range, mvd_range) * scale,
+                rng.randint(-mvd_range, mvd_range) * scale)
+
+    for f in range(n_frames):
+        is_idr = f == 0
+        num_active = min(num_ref_frames, f) if not is_idr else 0
+        num_active = max(num_active, 1)
+        cfg = SliceConfig(
+            slice_type="I" if is_idr else "P",
+            idr=is_idr, idr_pic_id=0,
+            frame_num=f % (1 << log2_max_frame_num),
+            sps=sps, pps=pps, slice_qp=qp, pic_init_qp=qp,
+            num_ref_idx_override=(num_active
+                                  if not is_idr and num_active > 1 else None),
+            disable_deblocking_idc=1 if not deblock else 0)
+        tracker = IntraModeTracker(width_mbs, height_mbs)
+        mbs = []
+        cur_qp = qp
+        for a in range(n_mbs):
+            if is_idr:
+                if a % 4 == 0:
+                    mbs.append(_pcm_mb(rng, a))
+                    tracker.mark_mb(a)
+                else:
+                    cbp_luma = rng.randrange(16)
+                    cbp_chroma = rng.randrange(3)
+                    cbp = cbp_luma | (cbp_chroma << 4)
+                    mb = tracker.random_i4x4_mb(rng, a, cbp=cbp)
+                    if cbp:
+                        mb["qp_delta"] = 0
+                        mb["residual"] = _rand_residual(
+                            rng, "i4x4", cbp_luma, cbp_chroma, qp=cur_qp)
+                    mbs.append(mb)
+                continue
+            kinds = ["skip", "p16x16", "pNxM"]
+            weights = [3, 4, 2]
+            if p8x8:
+                kinds.append("p8x8")
+                weights.append(2)
+            if intra_in_p:
+                kinds += ["i4x4", "ipcm"]
+                weights += [1, 0.5]
+            kind = rng.choices(kinds, weights=weights)[0]
+
+            def pick_ref():
+                return rng.randrange(num_active) if multi_ref_idx else 0
+
+            if kind == "skip":
+                mbs.append({"kind": "skip", "addr": a})
+                tracker.mark_mb(a)
+                continue
+            if kind == "ipcm":
+                mb = _pcm_mb(rng, a)
+                mb["p_slice"] = True
+                mbs.append(mb)
+                tracker.mark_mb(a)
+                continue
+            if kind == "i4x4":
+                cbp_luma = rng.randrange(16)
+                cbp_chroma = rng.randrange(3)
+                cbp = cbp_luma | (cbp_chroma << 4)
+                mb = tracker.random_i4x4_mb(rng, a, cbp=cbp)
+                mb["p_slice"] = True
+                if cbp:
+                    mb["qp_delta"] = 0
+                    mb["residual"] = _rand_residual(
+                        rng, "i4x4", cbp_luma, cbp_chroma, qp=cur_qp)
+                mbs.append(mb)
+                continue
+            cbp = rng.choice([0, 0, rng.randrange(48)])
+            rd = None
+            if cbp:
+                rd = _rand_residual(rng, "inter", cbp & 15, cbp >> 4,
+                                    qp=cur_qp)
+            if kind == "p16x16":
+                mbs.append({"kind": "p16x16", "addr": a,
+                            "ref_idx": pick_ref(), "num_ref": num_active,
+                            "mvd": mvd(), "cbp": cbp, "residual": rd,
+                            "qp_delta": 0})
+            elif kind == "pNxM":
+                mbs.append({"kind": "pNxM", "addr": a,
+                            "mb_type": rng.choice([1, 2]),
+                            "ref_idx": [pick_ref(), pick_ref()],
+                            "num_ref": num_active,
+                            "mvds": [mvd(), mvd()], "cbp": cbp,
+                            "residual": rd, "qp_delta": 0})
+            else:
+                sub_types = [rng.randrange(4) for _ in range(4)]
+                from h264enc import SliceConfig as _SC  # noqa
+                import cavlc_enc
+                nparts = {0: 1, 1: 2, 2: 2, 3: 4}
+                mvds = [[mvd() for _ in range(nparts[st])]
+                        for st in sub_types]
+                mbs.append({"kind": "p8x8", "addr": a,
+                            "mb_type": rng.choice([3, 3, 3, 4]),
+                            "sub_types": sub_types,
+                            "ref_idx": [pick_ref() for _ in range(4)],
+                            "num_ref": num_active,
+                            "mvds": mvds, "cbp": cbp, "residual": rd,
+                            "qp_delta": 0})
+            tracker.mark_mb(a)
+        out.append(write_slice(cfg, mbs))
+    info = {"width": width_mbs * 16, "height": height_mbs * 16,
+            "n_frames": n_frames}
+    return b"".join(out), info
