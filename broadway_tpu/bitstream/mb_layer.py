@@ -438,7 +438,7 @@ def parse_macroblock(r: BitReader, parser: MbParser, addr: int,
         _mark_mb_grids(parser, addr, 16)
         pic.total_coeff[addr] = 16
         pic.chroma_total_coeff[addr] = 16
-        pic.qp[addr] = qp
+        pic.qp[addr] = 0  # I_PCM: qpY inferred 0 (h264bsd_macroblock_layer.c:1003)
         pic.decoded[addr] = True
         return qp
 
