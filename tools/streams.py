@@ -491,3 +491,204 @@ def inter_stream(width_mbs=5, height_mbs=4, n_frames=6, seed=77, qp=28,
     info = {"width": width_mbs * 16, "height": height_mbs * 16,
             "n_frames": n_frames}
     return b"".join(out), info
+
+
+def _mixed_mb_list(rng, tracker, addrs, qp, is_p=False, num_active=1,
+                   mvd_range=24, chroma_qp_offset=0):
+    """Random MB payloads for the given addresses (decode order)."""
+    mbs = []
+    for a in addrs:
+        if is_p:
+            kind = rng.choices(["skip", "p16x16", "pNxM", "p8x8", "i4x4"],
+                               weights=[2, 3, 2, 2, 1])[0]
+        else:
+            kind = rng.choices(["ipcm", "i4x4", "i16"], weights=[1, 3, 3])[0]
+        if kind == "skip":
+            mbs.append({"kind": "skip", "addr": a})
+            tracker.mark_mb(a)
+            continue
+        if kind == "ipcm":
+            mb = _pcm_mb(rng, a)
+            if is_p:
+                mb["p_slice"] = True
+            mbs.append(mb)
+            tracker.mark_mb(a)
+            continue
+        if kind == "i4x4":
+            cbp_luma = rng.randrange(16)
+            cbp_chroma = rng.randrange(3)
+            cbp = cbp_luma | (cbp_chroma << 4)
+            mb = tracker.random_i4x4_mb(rng, a, cbp=cbp)
+            if is_p:
+                mb["p_slice"] = True
+            if cbp:
+                mb["qp_delta"] = 0
+                mb["residual"] = _rand_residual(
+                    rng, "i4x4", cbp_luma, cbp_chroma, qp=qp,
+                    chroma_qp_offset=chroma_qp_offset)
+            mbs.append(mb)
+            continue
+        if kind == "i16":
+            mode = rng.choice(_i16_legal_modes(tracker, a))
+            cbp_luma = rng.choice([0, 1])
+            cbp_chroma = rng.randrange(3)
+            rd = _rand_residual(rng, "i16", 15 if cbp_luma else 0,
+                                cbp_chroma, qp=qp,
+                                chroma_qp_offset=chroma_qp_offset)
+            mbs.append({"kind": "i16", "addr": a, "pred_mode": mode,
+                        "cbp_luma": cbp_luma, "cbp_chroma": cbp_chroma,
+                        "chroma_mode": rng.choice(
+                            tracker.legal_chroma_modes(a)),
+                        "qp_delta": 0, "residual": rd})
+            tracker.mark_mb(a)
+            continue
+
+        def mvd():
+            return (rng.randint(-mvd_range, mvd_range),
+                    rng.randint(-mvd_range, mvd_range))
+        cbp = rng.choice([0, rng.randrange(48)])
+        rd = _rand_residual(rng, "inter", cbp & 15, cbp >> 4, qp=qp,
+                            chroma_qp_offset=chroma_qp_offset) \
+            if cbp else None
+        if kind == "p16x16":
+            mbs.append({"kind": "p16x16", "addr": a,
+                        "ref_idx": rng.randrange(num_active),
+                        "num_ref": num_active, "mvd": mvd(), "cbp": cbp,
+                        "residual": rd, "qp_delta": 0})
+        elif kind == "pNxM":
+            mbs.append({"kind": "pNxM", "addr": a,
+                        "mb_type": rng.choice([1, 2]),
+                        "ref_idx": [rng.randrange(num_active)
+                                    for _ in range(2)],
+                        "num_ref": num_active, "mvds": [mvd(), mvd()],
+                        "cbp": cbp, "residual": rd, "qp_delta": 0})
+        else:
+            sub_types = [rng.randrange(4) for _ in range(4)]
+            nparts = {0: 1, 1: 2, 2: 2, 3: 4}
+            mbs.append({"kind": "p8x8", "addr": a, "mb_type": 3,
+                        "sub_types": sub_types,
+                        "ref_idx": [rng.randrange(num_active)
+                                    for _ in range(4)],
+                        "num_ref": num_active,
+                        "mvds": [[mvd() for _ in range(nparts[st])]
+                                 for st in sub_types],
+                        "cbp": cbp, "residual": rd, "qp_delta": 0})
+        tracker.mark_mb(a)
+    return mbs
+
+
+def multislice_stream(width_mbs=5, height_mbs=4, n_frames=4, seed=201,
+                      n_slices=3, deblock_idc=0, alpha_off=0, beta_off=0,
+                      qp=28, chroma_qp_offset=0, vary_slice_qp=True):
+    """Pictures split into several slices: exercises slice-boundary
+    availability (intra/nC/MV), per-slice QP/deblock params, and
+    disable_deblocking_filter_idc==2 cross-slice gating."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2,
+                    num_ref_frames=1)
+    pps = PpsConfig(pic_init_qp=qp, chroma_qp_index_offset=chroma_qp_offset)
+    out = [write_sps(sps), write_pps(pps)]
+    n_mbs = width_mbs * height_mbs
+    for f in range(n_frames):
+        is_idr = f == 0
+        # random slice partition (contiguous, raster)
+        cuts = sorted(rng.sample(range(1, n_mbs), n_slices - 1)) \
+            if n_slices > 1 else []
+        bounds = [0] + cuts + [n_mbs]
+        for s in range(len(bounds) - 1):
+            addrs = list(range(bounds[s], bounds[s + 1]))
+            sqp = qp + (rng.randint(-4, 4) if vary_slice_qp else 0)
+            sqp = min(max(sqp, 0), 51)
+            tracker = IntraModeTracker(width_mbs, height_mbs)
+            # only same-slice MBs available to the generator's predictors
+            cfg = SliceConfig(
+                slice_type="I" if is_idr else "P",
+                first_mb=addrs[0], idr=is_idr, idr_pic_id=0,
+                frame_num=f % 32, sps=sps, pps=pps, slice_qp=sqp,
+                pic_init_qp=qp,
+                disable_deblocking_idc=deblock_idc,
+                slice_alpha_c0_offset=alpha_off,
+                slice_beta_offset=beta_off)
+            mbs = _mixed_mb_list(rng, tracker, addrs, sqp, is_p=not is_idr,
+                                 chroma_qp_offset=chroma_qp_offset)
+            out.append(write_slice(cfg, mbs))
+    info = {"width": width_mbs * 16, "height": height_mbs * 16,
+            "n_frames": n_frames}
+    return b"".join(out), info
+
+
+def fmo_stream(map_type=1, width_mbs=4, height_mbs=4, n_frames=3, seed=301,
+               n_groups=2, qp=28, deblock=True, change_rate=3,
+               change_direction=False):
+    """FMO slice-group streams, one slice per group per picture."""
+    import numpy as np
+    import sys as _s
+    from broadway_tpu.bitstream.params import Pps as _Pps, Sps as _Sps
+    from broadway_tpu.bitstream.slice_group_map import build_slice_group_map
+
+    rng = random.Random(seed)
+    n_mbs = width_mbs * height_mbs
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2)
+    kw = {}
+    if map_type == 0:
+        kw["run_length"] = [rng.randint(1, max(1, n_mbs // n_groups))
+                            for _ in range(n_groups)]
+    elif map_type == 2:
+        tls, brs = [], []
+        for g in range(n_groups - 1):
+            y0, x0 = rng.randrange(height_mbs // 2), rng.randrange(width_mbs // 2)
+            y1 = rng.randrange(y0, height_mbs)
+            x1 = rng.randrange(x0, width_mbs)
+            tls.append(y0 * width_mbs + x0)
+            brs.append(y1 * width_mbs + x1)
+        kw["top_left"] = tls
+        kw["bottom_right"] = brs
+    elif map_type in (3, 4, 5):
+        kw["slice_group_change_rate"] = change_rate
+        kw["slice_group_change_direction"] = change_direction
+        n_groups = 2
+    elif map_type == 6:
+        kw["explicit_map"] = [rng.randrange(n_groups) for _ in range(n_mbs)]
+    pps = PpsConfig(pic_init_qp=qp, num_slice_groups=n_groups,
+                    slice_group_map_type=map_type, **kw)
+    out = [write_sps(sps), write_pps(pps)]
+
+    # mirror decoder-side map computation
+    dsps = _Sps()
+    dsps.width_mbs, dsps.height_mbs = width_mbs, height_mbs
+    dpps = _Pps()
+    dpps.num_slice_groups = n_groups
+    dpps.slice_group_map_type = map_type
+    dpps.run_length = tuple(kw.get("run_length", ()))
+    dpps.top_left = tuple(kw.get("top_left", ()))
+    dpps.bottom_right = tuple(kw.get("bottom_right", ()))
+    dpps.slice_group_change_rate = kw.get("slice_group_change_rate", 1)
+    dpps.slice_group_change_direction = kw.get("slice_group_change_direction",
+                                               False)
+    dpps.slice_group_map = tuple(kw["explicit_map"]) \
+        if map_type == 6 else None
+
+    for f in range(n_frames):
+        is_idr = f == 0
+        change_cycle = 0
+        if map_type in (3, 4, 5):
+            max_cycle = (n_mbs + change_rate - 1) // change_rate
+            change_cycle = rng.randint(0, max_cycle)
+        sg_map = build_slice_group_map(dsps, dpps, change_cycle)
+        for g in range(n_groups):
+            addrs = [a for a in range(n_mbs) if sg_map[a] == g]
+            if not addrs:
+                continue
+            tracker = IntraModeTracker(width_mbs, height_mbs)
+            cfg = SliceConfig(
+                slice_type="I" if is_idr else "P",
+                first_mb=addrs[0], idr=is_idr, idr_pic_id=0,
+                frame_num=f % 32, sps=sps, pps=pps, slice_qp=qp,
+                pic_init_qp=qp,
+                disable_deblocking_idc=0 if deblock else 1,
+                slice_group_change_cycle=change_cycle)
+            mbs = _mixed_mb_list(rng, tracker, addrs, qp, is_p=not is_idr)
+            out.append(write_slice(cfg, mbs))
+    info = {"width": width_mbs * 16, "height": height_mbs * 16,
+            "n_frames": n_frames}
+    return b"".join(out), info
