@@ -117,6 +117,9 @@ class SpsConfig:
     log2_max_frame_num: int = 5
     poc_type: int = 2
     log2_max_poc_lsb: int = 6          # used when poc_type == 0
+    delta_always_zero: bool = False    # poc_type == 1
+    offset_for_non_ref_pic: int = 0
+    offsets_for_ref_frame: tuple = ()
     num_ref_frames: int = 1
     gaps_allowed: bool = False
     width_mbs: int = 4
@@ -137,10 +140,12 @@ def write_sps(c: SpsConfig) -> bytes:
     if c.poc_type == 0:
         w.ue(c.log2_max_poc_lsb - 4)
     elif c.poc_type == 1:
-        w.flag(0)           # delta_pic_order_always_zero_flag
-        w.se(0)             # offset_for_non_ref_pic
+        w.flag(c.delta_always_zero)
+        w.se(c.offset_for_non_ref_pic)
         w.se(0)             # offset_for_top_to_bottom_field
-        w.ue(0)             # num_ref_frames_in_pic_order_cnt_cycle
+        w.ue(len(c.offsets_for_ref_frame))
+        for o in c.offsets_for_ref_frame:
+            w.se(o)
     w.ue(c.num_ref_frames)
     w.flag(c.gaps_allowed)
     w.ue(c.width_mbs - 1)
@@ -265,6 +270,7 @@ class SliceConfig:
     idr: bool = True
     idr_pic_id: int = 0
     poc_lsb: int = 0             # written when sps.poc_type == 0
+    delta_poc_0: int = 0         # poc_type 1 without delta_always_zero
     num_ref_idx_override: Optional[int] = None
     slice_qp: int = 26
     pic_init_qp: int = 26
@@ -297,6 +303,10 @@ def write_slice(cfg: SliceConfig, mbs: List[dict]) -> bytes:
         w.u(cfg.sps.log2_max_poc_lsb, cfg.poc_lsb)
         if cfg.pps.pic_order_present:
             w.se(0)  # delta_pic_order_cnt_bottom
+    elif cfg.sps.poc_type == 1 and not cfg.sps.delta_always_zero:
+        w.se(cfg.delta_poc_0)
+        if cfg.pps.pic_order_present:
+            w.se(0)  # delta_pic_order_cnt[1]
     if cfg.slice_type == "P":
         if cfg.num_ref_idx_override is not None:
             w.flag(1)

@@ -692,3 +692,95 @@ def fmo_stream(map_type=1, width_mbs=4, height_mbs=4, n_frames=3, seed=301,
     info = {"width": width_mbs * 16, "height": height_mbs * 16,
             "n_frames": n_frames}
     return b"".join(out), info
+
+
+def poc_reorder_stream(poc_type=0, width_mbs=3, height_mbs=3, seed=401,
+                       qp=28, n_gops=2, gop_len=5, non_ref_every=0,
+                       log2_max_frame_num=4, log2_max_poc_lsb=4,
+                       mmco_forget=False, deblock=True, num_ref_frames=2):
+    """Streams exercising POC types, display reordering (out-of-order POC),
+    non-reference pictures, mid-stream IDRs, frame_num wrap, and MMCO1."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs,
+                    poc_type=poc_type, num_ref_frames=num_ref_frames,
+                    log2_max_frame_num=log2_max_frame_num,
+                    log2_max_poc_lsb=log2_max_poc_lsb,
+                    offsets_for_ref_frame=(2, 4) if poc_type == 1 else (),
+                    offset_for_non_ref_pic=-1 if poc_type == 1 else 0)
+    pps = PpsConfig(pic_init_qp=qp)
+    out = [write_sps(sps), write_pps(pps)]
+    max_fn = 1 << log2_max_frame_num
+    max_lsb = 1 << log2_max_poc_lsb
+
+    for g in range(n_gops):
+        frame_num = 0
+        poc = 0
+        n_refs_in_dpb = 0
+        for f in range(gop_len):
+            is_idr = f == 0
+            non_ref = (non_ref_every and not is_idr and
+                       f % non_ref_every == 0)
+            num_active = max(min(num_ref_frames, n_refs_in_dpb), 1)
+            # POC grows by 2 per frame; occasionally jumps to exercise
+            # reorder paths (poc_lsb wraps via modulo)
+            if not is_idr:
+                poc += rng.choice([2, 2, 4])
+            mmco = None
+            if (mmco_forget and not is_idr and not non_ref and
+                    n_refs_in_dpb >= 2 and rng.random() < 0.5):
+                # MMCO1: forget the oldest short-term ref
+                mmco = [(1, rng.randrange(1, 2)), ]
+                # encode: op sequence (ue pairs). write_slice writes raw
+                # ue values of each tuple; MMCO1 = (1, diff_minus1)
+            cfg = SliceConfig(
+                slice_type="I" if is_idr else "P",
+                idr=is_idr, idr_pic_id=g % 4,
+                frame_num=frame_num % max_fn,
+                poc_lsb=poc % max_lsb,
+                delta_poc_0=rng.choice([0, 0, 1, -1]) if poc_type == 1
+                else 0,
+                sps=sps, pps=pps, slice_qp=qp, pic_init_qp=qp,
+                num_ref_idx_override=(num_active if num_active > 1
+                                      else None) if not is_idr else None,
+                disable_deblocking_idc=0 if deblock else 1,
+                nal_ref_idc=0 if non_ref else 3,
+                adaptive_ref_pic_marking=mmco)
+            tracker = IntraModeTracker(width_mbs, height_mbs)
+            mbs = _mixed_mb_list(rng, tracker,
+                                 list(range(width_mbs * height_mbs)), qp,
+                                 is_p=not is_idr, num_active=num_active,
+                                 mvd_range=16)
+            out.append(write_slice(cfg, mbs))
+            if not non_ref:
+                frame_num += 1
+                if is_idr:
+                    n_refs_in_dpb = 1
+                else:
+                    if mmco:
+                        pass  # one removed, one added
+                    else:
+                        n_refs_in_dpb = min(n_refs_in_dpb + 1,
+                                            num_ref_frames)
+    info = {"width": width_mbs * 16, "height": height_mbs * 16}
+    return b"".join(out), info
+
+
+def cropped_stream(width_mbs=4, height_mbs=3, crop=(4, 6, 2, 8), seed=501,
+                   n_frames=2, qp=30):
+    """Frame cropping window in the SPS (DecTestBench -C mode)."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2,
+                    crop=crop)
+    pps = PpsConfig(pic_init_qp=qp)
+    out = [write_sps(sps), write_pps(pps)]
+    for f in range(n_frames):
+        cfg = SliceConfig(slice_type="I", idr=True, idr_pic_id=f,
+                          sps=sps, pps=pps, slice_qp=qp, pic_init_qp=qp,
+                          disable_deblocking_idc=0)
+        tracker = IntraModeTracker(width_mbs, height_mbs)
+        mbs = _mixed_mb_list(rng, tracker,
+                             list(range(width_mbs * height_mbs)), qp)
+        out.append(write_slice(cfg, mbs))
+    info = {"width": width_mbs * 16, "height": height_mbs * 16,
+            "crop": crop, "n_frames": n_frames}
+    return b"".join(out), info
