@@ -274,14 +274,17 @@ class Decoder:
             # concealment not yet implemented: missing MBs stay gray
             pass
 
-        # reconstruct
-        ref_frames = {i: p.frame for i, p in enumerate(self.dpb.buffer)
-                      if p.frame is not None}
-        frame = reconstruct_picture(pic, pps.chroma_qp_index_offset,
-                                    pps.constrained_intra_pred, ref_frames,
-                                    sps.width, sps.height)
-        # in-loop deblocking
-        deblock_mod.filter_picture(frame, pic, pps.chroma_qp_index_offset)
+        if self.backend == "tpu":
+            frame = self._reconstruct_tpu(pic)
+        else:
+            ref_frames = {i: p.frame for i, p in enumerate(self.dpb.buffer)
+                          if p.frame is not None}
+            frame = reconstruct_picture(pic, pps.chroma_qp_index_offset,
+                                        pps.constrained_intra_pred,
+                                        ref_frames, sps.width, sps.height)
+            # in-loop deblocking
+            deblock_mod.filter_picture(frame, pic,
+                                       pps.chroma_qp_index_offset)
 
         cur_mmco5 = any(m.op == 5 for m in header.mmco)
         poc = decode_poc(sps, header, self.poc_state, header.nal_ref_idc,
@@ -305,6 +308,51 @@ class Decoder:
         self.dpb.prev_ref_frame_num = header.frame_num \
             if header.nal_ref_idc else self.dpb.prev_ref_frame_num
         self._drain()
+
+    def _reconstruct_tpu(self, pic: PictureData):
+        """Whole-picture reconstruction on the jitted TPU pipeline
+        (core/recon_tpu.py)."""
+        import jax.numpy as jnp
+
+        from . import recon_tpu as RT
+
+        sps, pps = self.sps, self.pps
+        w, h = sps.width_mbs, sps.height_mbs
+        key = (w, h)
+        if getattr(self, "_diag_key", None) != key:
+            self._diag = jnp.asarray(RT._diag_table(w, h))
+            self._diag_key = key
+
+        arrs = RT.host_picture_arrays(pic, pps.chroma_qp_index_offset,
+                                      pps.constrained_intra_pred)
+        arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
+
+        from ..ops.tpu.inter import PAD
+        Hp, Wp = sps.height + 2 * PAD, sps.width + 2 * PAD
+        R = len(self.dpb.buffer)
+        zero_y = jnp.zeros((Hp, Wp), jnp.int32)
+        zero_c = jnp.zeros((Hp // 2 + PAD, Wp // 2 + PAD), jnp.int32)
+        ys, cbs, crs = [], [], []
+        for p in self.dpb.buffer:
+            f = p.frame
+            if f is None:
+                ys.append(zero_y)
+                cbs.append(jnp.zeros((sps.height // 2 + 2 * PAD,
+                                      sps.width // 2 + 2 * PAD), jnp.int32))
+                crs.append(cbs[-1])
+            else:
+                ys.append(f.y_pad)
+                cbs.append(f.cb_pad)
+                crs.append(f.cr_pad)
+        ref_y = jnp.stack(ys)
+        ref_cb = jnp.stack(cbs)
+        ref_cr = jnp.stack(crs)
+
+        y, cb, cr = RT.decode_picture(
+            arrs, ref_y, ref_cb, ref_cr, self._diag,
+            w_mbs=w, h_mbs=h,
+            chroma_qp_offset=pps.chroma_qp_index_offset)
+        return RT.TpuFrame(y, cb, cr)
 
     def _drain(self) -> None:
         for p in self.dpb.drain_outputs():

@@ -13,6 +13,9 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 # Multi-chip sharding tests run on a virtual CPU mesh; the real-TPU bench
 # path sets its own flags. Must be set before jax import anywhere.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, "build", "jaxcache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault(
     "XLA_FLAGS",
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",

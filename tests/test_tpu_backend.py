@@ -1,0 +1,53 @@
+"""TPU (jitted JAX) backend vs CPU (NumPy oracle) backend on every stream
+scenario — the CPU backend itself is golden-validated vs the reference."""
+
+import pytest
+
+import streams
+from broadway_tpu.core.decoder import Decoder
+
+
+def cross_check(data):
+    cpu = Decoder(backend="cpu").decode_annexb(data)
+    tpu = Decoder(backend="tpu").decode_annexb(data)
+    assert len(cpu) == len(tpu)
+    for i, (a, b) in enumerate(zip(cpu, tpu)):
+        ba, bb = a.frame.tobytes(), b.frame.tobytes()
+        if ba != bb:
+            off = next(j for j in range(len(ba)) if ba[j] != bb[j])
+            raise AssertionError(
+                f"frame {i} differs at byte {off}: cpu={ba[off]} "
+                f"tpu={bb[off]} (y plane {a.width}x{a.height})")
+
+
+def test_tpu_ipcm():
+    cross_check(streams.ipcm_stream(width_mbs=4, height_mbs=3)[0])
+
+
+def test_tpu_intra_mixed():
+    cross_check(streams.intra_mixed_stream(width_mbs=4, height_mbs=3, seed=811)[0])
+
+
+def test_tpu_intra_deblock():
+    cross_check(streams.intra_mixed_stream(width_mbs=4, height_mbs=3, seed=812, deblock=True)[0])
+
+
+def test_tpu_inter():
+    cross_check(streams.inter_stream(width_mbs=4, height_mbs=3, n_frames=5, seed=813, deblock=True)[0])
+
+
+def test_tpu_inter_multi_ref():
+    cross_check(streams.inter_stream(width_mbs=4, height_mbs=3,
+                                     n_frames=6, seed=814,
+                                     num_ref_frames=2, multi_ref_idx=True,
+                                     deblock=True, mvd_range=50)[0])
+
+
+def test_tpu_multislice():
+    cross_check(streams.multislice_stream(width_mbs=4, height_mbs=3,
+                                          seed=815, deblock_idc=0,
+                                          alpha_off=2, beta_off=-2)[0])
+
+
+def test_tpu_fmo():
+    cross_check(streams.fmo_stream(map_type=1, width_mbs=4, height_mbs=3, seed=816)[0])
