@@ -20,11 +20,13 @@ from .slice_header import P_SLICE, SliceHeader
 
 
 class SliceDataError(StreamError):
-    """Raised mid-slice; carries how many MBs decoded for concealment."""
+    """Raised mid-slice; carries the last successfully decoded MB address
+    (I slices; mirrors pStorage->slice->lastMbAddr) for corruption
+    marking + concealment."""
 
-    def __init__(self, msg: str, last_addr: int = -1) -> None:
+    def __init__(self, msg: str, last_mb_addr: int = 0) -> None:
         super().__init__(msg)
-        self.last_addr = last_addr
+        self.last_mb_addr = last_mb_addr
 
 
 def decode_slice_data(r: BitReader, pic: PictureData, parser: MbParser,
@@ -48,6 +50,7 @@ def decode_slice_data(r: BitReader, pic: PictureData, parser: MbParser,
     n_decoded = 0
     skip_run = 0
     prev_skipped = False
+    last_mb_addr = 0
 
     ref_slot0 = ref_slots[0] if ref_slots else -1
 
@@ -55,32 +58,37 @@ def decode_slice_data(r: BitReader, pic: PictureData, parser: MbParser,
     # skip_run is read once at the start of a run; the MB following a run
     # is parsed without a new skip_run; data left with no next address in
     # the slice group is an error.
-    while True:
-        if addr < 0:
-            raise SliceDataError("slice overruns picture", addr)
-        if pic.decoded[addr]:
-            raise SliceDataError("MB decoded twice", addr)
-        if is_p and not prev_skipped:
-            skip_run = r.ue()
-            if skip_run > pic.n_mbs - addr:
-                raise SliceDataError("invalid mb_skip_run", addr)
+    try:
+        while True:
+            if addr < 0:
+                raise StreamError("slice overruns picture")
+            if pic.decoded[addr]:
+                raise StreamError("MB decoded twice")
+            if is_p and not prev_skipped:
+                skip_run = r.ue()
+                if skip_run > pic.n_mbs - addr:
+                    raise StreamError("invalid mb_skip_run")
+                if skip_run:
+                    prev_skipped = True
+            pic.slice_id[addr] = slice_id
             if skip_run:
-                prev_skipped = True
-        pic.slice_id[addr] = slice_id
-        if skip_run:
-            parse_p_skip(parser, addr, ref_slot0)
-            pic.qp[addr] = qp
-            skip_run -= 1
-        else:
-            prev_skipped = False
-            qp = parse_macroblock(r, parser, addr, header.slice_type, qp,
-                                  num_ref, ref_slots,
-                                  pps.chroma_qp_index_offset)
-        n_decoded += 1
-        more = r.more_rbsp_data() or skip_run > 0
-        addr = next_mb_address(sg_map, addr)
-        if more and addr < 0:
-            raise SliceDataError("next mb address", addr)
-        if not more:
-            break
+                parse_p_skip(parser, addr, ref_slot0)
+                pic.qp[addr] = qp
+                skip_run -= 1
+            else:
+                prev_skipped = False
+                qp = parse_macroblock(r, parser, addr, header.slice_type,
+                                      qp, num_ref, ref_slots,
+                                      pps.chroma_qp_index_offset)
+            n_decoded += 1
+            if not is_p:
+                last_mb_addr = addr
+            more = r.more_rbsp_data() or skip_run > 0
+            addr = next_mb_address(sg_map, addr)
+            if more and addr < 0:
+                raise StreamError("next mb address")
+            if not more:
+                break
+    except StreamError as e:
+        raise SliceDataError(str(e), last_mb_addr) from e
     return n_decoded

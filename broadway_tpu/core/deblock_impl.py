@@ -54,7 +54,7 @@ class _MbView:
     """Per-MB info needed by the filter."""
 
     __slots__ = ("intra", "tc_z", "mv_z", "ref_z", "qp", "idc", "offA",
-                 "offB", "slice_id")
+                 "offB", "slice_id", "chroma_off")
 
     def __init__(self, pic: PictureData, addr: int) -> None:
         self.intra = pic.mb_class[addr] != MB_P
@@ -72,6 +72,17 @@ class _MbView:
         self.ref_z = [int(rs[0, 0]), int(rs[0, 1]), int(rs[1, 0]),
                       int(rs[1, 1])]
         self.qp = int(pic.qp[addr])
+        self.chroma_off = None  # filled by filter_picture_impl
+        concealed = getattr(pic, "concealed", None)
+        if concealed is not None and concealed[addr]:
+            # concealed MBs: qp already 40, offsets 0, filtering enabled
+            # (h264bsd_conceal.c ConcealMb :300-308)
+            self.idc = 0
+            self.offA = 0
+            self.offB = 0
+            self.slice_id = int(pic.slice_id[addr])
+            self.chroma_off = 0
+            return
         sp = pic.slice_params[pic.slice_id[addr]]
         self.idc = sp.disable_deblocking_idc
         self.offA = sp.alpha_c0_offset
@@ -316,6 +327,8 @@ def _filter_hor_chroma(pl, y0, x0, n, bs, th):
 
 def filter_picture_impl(frame: Frame, pic: PictureData,
                         chroma_qp_offset: int) -> None:
+    if getattr(pic, "whole_pic_concealed", False):
+        return
     w_mbs, h_mbs = pic.width_mbs, pic.height_mbs
     # int32 working planes (the scalar filters index/write freely)
     y_pl = frame.y.astype(np.int32)
@@ -371,10 +384,12 @@ def filter_picture_impl(frame: Frame, pic: PictureData,
                 if top[r]:
                     _filter_hor_luma(y_pl, y0, px + col * 4, 4, top[r], th)
 
-        # chroma
+        # chroma (per-MB offset: 0 for concealed MBs)
+        mb_coff = mb.chroma_off if mb.chroma_off is not None \
+            else chroma_qp_offset
         inner, topt, leftt = _thresholds(
             mb.qp, mb_a.qp if mb_a else 0, mb_b.qp if mb_b else 0,
-            mb.offA, mb.offB, FT, FL, chroma_off=chroma_qp_offset)
+            mb.offA, mb.offB, FT, FL, chroma_off=mb_coff)
         cx, cy = mbx * 8, mby * 8
         for half in range(2):
             base = half * 8

@@ -20,13 +20,14 @@ import numpy as np
 
 from ..bitstream import bitreader as br
 from ..bitstream.bitreader import BitReader, NalUnit, StreamError
-from ..bitstream.frontend import decode_slice_data
+from ..bitstream.frontend import SliceDataError, decode_slice_data
 from ..bitstream.mb_layer import MbParser, PictureData
 from ..bitstream.params import Pps, Sps, parse_pps, parse_sps
 from ..bitstream.slice_group_map import build_slice_group_map
 from ..bitstream.slice_header import (I_SLICE, P_SLICE, SliceHeader,
                                       parse_slice_header)
 from . import deblock as deblock_mod
+from .conceal import conceal_picture, mark_slice_corrupted
 from .dpb import Dpb, DpbPicture
 from .poc import PocState, decode_poc
 from .recon_cpu import Frame, reconstruct_picture
@@ -245,9 +246,18 @@ class Decoder:
                                        header.slice_group_change_cycle)
         slice_id = self.slice_count
         self.slice_count += 1
-        n = decode_slice_data(r, self.pic, self.parser, header, self.sps,
+        self.last_header = header
+        try:
+            decode_slice_data(r, self.pic, self.parser, header, self.sps,
                               self.pps, sg_map, slice_id, ref_slots)
-        self.n_decoded_mbs += n
+        except SliceDataError as e:
+            # corrupt slice: un-decode its MBs; concealment happens when
+            # the picture boundary is detected (h264bsd_decoder.c:236-276)
+            mark_slice_corrupted(self.pic, header.first_mb, sg_map,
+                                 slice_id, e.last_mb_addr,
+                                 self.sps.width_mbs)
+            self.pic_has_errors = True
+        self.n_decoded_mbs = int(self.pic.decoded.sum())
 
         if self.n_decoded_mbs >= self.pic.n_mbs:
             self._finish_picture(concealed=False)
@@ -268,13 +278,10 @@ class Decoder:
         self.pic, self.pic_header = None, None
 
         num_err = pic.n_mbs - int(pic.decoded.sum())
-        if num_err and not concealed:
-            raise StreamError("incomplete picture")
         if num_err:
-            # concealment not yet implemented: missing MBs stay gray
-            pass
-
-        if self.backend == "tpu":
+            frame = self._reconstruct_concealed(pic, num_err)
+            num_err = int(pic.concealed.sum())
+        elif self.backend == "tpu":
             frame = self._reconstruct_tpu(pic)
         else:
             ref_frames = {i: p.frame for i, p in enumerate(self.dpb.buffer)
@@ -308,6 +315,44 @@ class Decoder:
         self.dpb.prev_ref_frame_num = header.frame_num \
             if header.nal_ref_idc else self.dpb.prev_ref_frame_num
         self._drain()
+
+    def _cpu_frame(self, f):
+        if f is None or isinstance(f, Frame):
+            return f
+        import numpy as np
+        nf = Frame.__new__(Frame)
+        nf.y = np.asarray(f.y).astype(np.uint8)
+        nf.cb = np.asarray(f.cb).astype(np.uint8)
+        nf.cr = np.asarray(f.cr).astype(np.uint8)
+        return nf
+
+    def _reconstruct_concealed(self, pic: PictureData, num_err: int):
+        """Error path: CPU reconstruction of the decoded MBs, then
+        concealment + deblocking (h264bsdConceal semantics)."""
+        sps, pps = self.sps, self.pps
+        ref_frames = {i: self._cpu_frame(p.frame)
+                      for i, p in enumerate(self.dpb.buffer)
+                      if p.frame is not None}
+        frame = reconstruct_picture(pic, pps.chroma_qp_index_offset,
+                                    pps.constrained_intra_pred, ref_frames,
+                                    sps.width, sps.height)
+        ref0 = None
+        for i in range(16):
+            f = self.dpb.ref_frame(i)
+            if f is not None:
+                ref0 = self._cpu_frame(f)
+                break
+        stype = self.last_header.slice_type if \
+            getattr(self, "last_header", None) else I_SLICE
+        conceal_picture(pic, frame, stype, ref0)
+        deblock_mod.filter_picture(frame, pic, pps.chroma_qp_index_offset)
+        if self.backend == "tpu":
+            import jax.numpy as jnp
+            from .recon_tpu import TpuFrame
+            frame = TpuFrame(jnp.asarray(frame.y.astype("int32")),
+                             jnp.asarray(frame.cb.astype("int32")),
+                             jnp.asarray(frame.cr.astype("int32")))
+        return frame
 
     def _reconstruct_tpu(self, pic: PictureData):
         """Whole-picture reconstruction on the jitted TPU pipeline
