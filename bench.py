@@ -43,7 +43,7 @@ def main():
     pics = parse_pictures(data, max_pics=2)
     arrs, w, h, cqo, n_slots = pics[-1]  # a P picture
     arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
-    diag = jnp.asarray(RT._diag_table(w, h))
+    steps = {k: jnp.asarray(v) for k, v in RT.step_tables(w, h).items()}
 
     H, W = h * 16, w * 16
     Hp, Wp = H + 2 * PAD, W + 2 * PAD
@@ -55,12 +55,12 @@ def main():
     ref_cr = ref_cb
 
     # --- single stream steady state ---
-    out = RT.decode_picture(arrs, ref_y, ref_cb, ref_cr, diag,
+    out = RT.decode_picture(arrs, ref_y, ref_cb, ref_cr, steps,
                             w_mbs=w, h_mbs=h, chroma_qp_offset=cqo)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out = RT.decode_picture(arrs, ref_y, ref_cb, ref_cr, diag,
+        out = RT.decode_picture(arrs, ref_y, ref_cb, ref_cr, steps,
                                 w_mbs=w, h_mbs=h, chroma_qp_offset=cqo)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / REPS
@@ -71,12 +71,12 @@ def main():
              for k, v in arrs.items()}
     bref_y = jnp.broadcast_to(ref_y[None], (BATCH,) + ref_y.shape)
     bref_cb = jnp.broadcast_to(ref_cb[None], (BATCH,) + ref_cb.shape)
-    out = decode_pictures_batch(barrs, bref_y, bref_cb, bref_cb, diag,
+    out = decode_pictures_batch(barrs, bref_y, bref_cb, bref_cb, steps,
                                 w_mbs=w, h_mbs=h, chroma_qp_offset=cqo)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(max(REPS // 4, 2)):
-        out = decode_pictures_batch(barrs, bref_y, bref_cb, bref_cb, diag,
+        out = decode_pictures_batch(barrs, bref_y, bref_cb, bref_cb, steps,
                                     w_mbs=w, h_mbs=h, chroma_qp_offset=cqo)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / max(REPS // 4, 2)

@@ -364,9 +364,10 @@ class Decoder:
         sps, pps = self.sps, self.pps
         w, h = sps.width_mbs, sps.height_mbs
         key = (w, h)
-        if getattr(self, "_diag_key", None) != key:
-            self._diag = jnp.asarray(RT._diag_table(w, h))
-            self._diag_key = key
+        if getattr(self, "_steps_key", None) != key:
+            self._steps = {k: jnp.asarray(v)
+                           for k, v in RT.step_tables(w, h).items()}
+            self._steps_key = key
 
         arrs = RT.host_picture_arrays(pic, pps.chroma_qp_index_offset,
                                       pps.constrained_intra_pred)
@@ -394,7 +395,7 @@ class Decoder:
         ref_cr = jnp.stack(crs)
 
         y, cb, cr = RT.decode_picture(
-            arrs, ref_y, ref_cb, ref_cr, self._diag,
+            arrs, ref_y, ref_cb, ref_cr, self._steps,
             w_mbs=w, h_mbs=h,
             chroma_qp_offset=pps.chroma_qp_index_offset)
         return RT.TpuFrame(y, cb, cr)

@@ -1,12 +1,20 @@
 """TPU pixel backend: whole-picture reconstruction as one jitted JAX
 pipeline (compiled once per (resolution, dpb-size); SPS change retraces).
 
-Stages (SURVEY.md §7 Stage B, re-designed TPU-first):
-  1. residual: dequant+IDCT for every block, data-parallel  (ops/tpu/residual)
-  2. inter:    quarter-pel MC for every 4x4 block, batched  (ops/tpu/inter)
-  3. base assembly: inter + I_PCM MBs -> planes (reshapes, no scatter)
-  4. intra:    lax.scan wavefront over x+2y anti-diagonals  (ops/tpu/intra)
-  5. deblock:  vectorized bS/thresholds + lax.scan wavefront (ops/tpu/deblock)
+TPU-first dataflow (SURVEY.md §7 Stage B):
+  - Every per-MB tensor is packed into a DIAGONAL-MAJOR grid
+    [n_steps, lanes]: step d holds the MBs of wavefront anti-diagonal
+    x + 2*y == d, lane = y - ymin(d) + LP. Neighbour MBs (A,B,C,D) of a
+    whole diagonal live at fixed lane shifts in rows d-1/d-2/d-3, so the
+    sequential wavefront stages (intra prediction, deblocking) need only
+    row dynamic-slices and lane rolls — no scatter/gather inside lax.scan.
+  - stage 1: residual dequant+IDCT, data-parallel over all packed blocks
+  - stage 2: quarter-pel MC, batched over all 4x4 blocks
+  - stage 3: base assembly (inter + I_PCM) in packed block space
+  - stage 4: intra wavefront scan (table-driven predictors, ops/tpu/intra)
+  - stage 5: deblock wavefront scan (bS/thresholds computed in-scan from
+    packed tensors, edge filters from ops/tpu/deblock)
+  - unpack once at the end to raster planes.
 
 Bit-exactness oracle: core/recon_cpu.py + core/deblock_impl.py (NumPy),
 themselves validated against the reference C decoder.
@@ -15,7 +23,7 @@ themselves validated against the reference C decoder.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 import jax
@@ -28,22 +36,9 @@ from ..ops.tpu import inter as K_mc
 from ..ops.tpu import intra as K_in
 from ..ops.tpu import residual as K_res
 
-PADF = 4  # frame padding used by the wavefront scans
+LP = 2   # lane padding on each side of a diagonal row
 
-# Debug escape hatch: run the wavefront scans as eager Python loops
-# (no lax.scan tracing) — used by tests to iterate quickly.
-EAGER_SCAN = False
-
-
-def _scan(f, init, xs):
-    if not EAGER_SCAN:
-        return jax.lax.scan(f, init, xs)
-    carry = init
-    for i in range(xs.shape[0]):
-        carry, _ = f(carry, xs[i])
-    return carry, None
-
-# (bx,by) -> up-right availability class for by>0 (static)
+# (bx,by) -> up-right availability inside the MB (z-order decode)
 _UR_OK = np.ones((4, 4), bool)
 for (_bx, _by) in K_in.NO_UPRIGHT:
     _UR_OK[_by, _bx] = False
@@ -52,8 +47,6 @@ for (_bx, _by) in K_in.NO_UPRIGHT:
 _BX4 = np.array([bx * 4 for bx, by in K_in.BLK_ORDER], np.int32)
 _BY4 = np.array([by * 4 for bx, by in K_in.BLK_ORDER], np.int32)
 _Z_PERM = np.array([by * 4 + bx for bx, by in K_in.BLK_ORDER], np.int32)
-# availability codes: 0 = use MB-level flag (av_b/av_a), 1 = av_c,
-# 2 = always available, 3 = never
 _AVU_CODE = np.array([0 if by == 0 else 2
                       for bx, by in K_in.BLK_ORDER], np.int32)
 _AVL_CODE = np.array([0 if bx == 0 else 2
@@ -62,27 +55,67 @@ _AVUR_CODE = np.array(
     [(0 if bx < 3 else 1) if by == 0 else (2 if _UR_OK[by, bx] else 3)
      for bx, by in K_in.BLK_ORDER], np.int32)
 
-import jax.numpy as _jnp_static  # noqa: E402
-_BX4_J = _jnp_static.asarray(_BX4)
-_BY4_J = _jnp_static.asarray(_BY4)
-_Z_PERM_J = _jnp_static.asarray(_Z_PERM)
-_AVU_CODE_J = _jnp_static.asarray(_AVU_CODE)
-_AVL_CODE_J = _jnp_static.asarray(_AVL_CODE)
-_AVUR_CODE_J = _jnp_static.asarray(_AVUR_CODE)
+_BX4_J = jnp.asarray(_BX4)
+_BY4_J = jnp.asarray(_BY4)
+_Z_PERM_J = jnp.asarray(_Z_PERM)
+_AVU_CODE_J = jnp.asarray(_AVU_CODE)
+_AVL_CODE_J = jnp.asarray(_AVL_CODE)
+_AVUR_CODE_J = jnp.asarray(_AVUR_CODE)
 
 
-def _diag_table(w_mbs: int, h_mbs: int) -> np.ndarray:
-    """[n_steps, max_diag] MB addresses per x+2y anti-diagonal, -1 pad."""
-    steps = (w_mbs - 1) + 2 * (h_mbs - 1) + 1
-    diags = [[] for _ in range(steps)]
-    for my in range(h_mbs):
-        for mx in range(w_mbs):
-            diags[mx + 2 * my].append(my * w_mbs + mx)
-    m = max(len(d) for d in diags)
-    out = np.full((steps, m), -1, np.int64)
-    for i, d in enumerate(diags):
-        out[i, :len(d)] = d
-    return out
+class WavefrontLayout:
+    """Static diagonal-major packing tables for a (w_mbs, h_mbs) grid."""
+
+    def __init__(self, w_mbs: int, h_mbs: int) -> None:
+        self.w = w_mbs
+        self.h = h_mbs
+        self.S = (w_mbs - 1) + 2 * (h_mbs - 1) + 1
+        ymin = np.zeros(self.S, np.int32)
+        ymax = np.zeros(self.S, np.int32)
+        for d in range(self.S):
+            # x = d - 2y must satisfy 0 <= x < w, 0 <= y < h
+            lo = max(0, -((w_mbs - 1 - d) // 2)) if d > w_mbs - 1 else 0
+            lo = max(0, (d - (w_mbs - 1) + 1) // 2)
+            hi = min(h_mbs - 1, d // 2)
+            ymin[d] = lo
+            ymax[d] = hi
+        self.ymin = ymin
+        max_diag = int((ymax - ymin).max()) + 1
+        self.LS = max_diag + 2 * LP
+        # addr -> (row d, lane)
+        self.slot_row = np.zeros(w_mbs * h_mbs, np.int32)
+        self.slot_lane = np.zeros(w_mbs * h_mbs, np.int32)
+        for y in range(h_mbs):
+            for x in range(w_mbs):
+                d = x + 2 * y
+                a = y * w_mbs + x
+                self.slot_row[a] = d
+                self.slot_lane[a] = y - ymin[d] + LP
+        # lane shifts for neighbour diagonals (neighbour lane = lane + sh)
+        def sh(d, dd, dy):
+            if d - dd < 0:
+                return 0
+            return int(ymin[d]) + dy - int(ymin[d - dd])
+        self.shA = np.array([sh(d, 1, 0) for d in range(self.S)], np.int32)
+        self.shC = np.array([sh(d, 1, -1) for d in range(self.S)], np.int32)
+        self.shB = np.array([sh(d, 2, -1) for d in range(self.S)], np.int32)
+        self.shD = np.array([sh(d, 3, -1) for d in range(self.S)], np.int32)
+
+    def pack(self, arr: np.ndarray, fill=0) -> np.ndarray:
+        """[n, ...] addr-order -> [S, LS, ...] packed."""
+        out = np.full((self.S, self.LS) + arr.shape[1:], fill, arr.dtype)
+        out[self.slot_row, self.slot_lane] = arr
+        return out
+
+
+_LAYOUTS: Dict[tuple, WavefrontLayout] = {}
+
+
+def get_layout(w_mbs: int, h_mbs: int) -> WavefrontLayout:
+    key = (w_mbs, h_mbs)
+    if key not in _LAYOUTS:
+        _LAYOUTS[key] = WavefrontLayout(w_mbs, h_mbs)
+    return _LAYOUTS[key]
 
 
 class TpuFrame:
@@ -105,9 +138,10 @@ class TpuFrame:
 
 def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
                         constrained_intra: bool) -> Dict[str, np.ndarray]:
-    """Assemble the device tensor bundle for one picture (host, NumPy)."""
+    """Assemble the packed device tensor bundle for one picture (host)."""
     n = pic.n_mbs
     w, h = pic.width_mbs, pic.height_mbs
+    lay = get_layout(w, h)
     cls = pic.mb_class
     sid = pic.slice_id
     dec = pic.decoded
@@ -134,11 +168,16 @@ def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
     av_c = nb_ok(-1, 1, True)
     av_d = nb_ok(-1, -1, True)
 
-    # deblock enables
+    # deblock params per MB (concealed MBs: qp 40, offsets 0, idc 0)
     idc = np.zeros(n, np.int32)
     offA = np.zeros(n, np.int32)
     offB = np.zeros(n, np.int32)
+    coff = np.full(n, chroma_qp_offset, np.int32)
+    concealed = getattr(pic, "concealed", None)
     for a in range(n):
+        if concealed is not None and concealed[a]:
+            coff[a] = 0
+            continue
         s = pic.slice_id[a]
         if s >= 0:
             sp = pic.slice_params[s]
@@ -161,185 +200,212 @@ def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
     FT = enable & db_nb(-1, 0)
     FL = enable & db_nb(0, -1)
 
-    # neighbour qp maps for thresholds
-    qpg = grid(pic.qp)
-    qp_a = np.zeros((h, w), np.int32)
-    qp_a[:, 1:] = qpg[:, :-1]
-    qp_b = np.zeros((h, w), np.int32)
-    qp_b[1:, :] = qpg[:-1, :]
+    mb_ids = np.arange(n)
+    px = (mb_ids % w).astype(np.int32) * 16
+    py = (mb_ids // w).astype(np.int32) * 16
 
     ref_blk = np.repeat(np.repeat(pic.ref_slot, 2, axis=1), 2, axis=2)
 
+    P = lay.pack
     return {
-        "mb_class": cls.astype(np.int32),
-        "qp": pic.qp.astype(np.int32),
-        "qp_a": qp_a.reshape(n),
-        "qp_b": qp_b.reshape(n),
-        "cbp": pic.cbp.astype(np.int32),
-        "is_i16": (cls == MB_I16x16),
-        "i16_mode": pic.i16_mode.astype(np.int32),
-        "chroma_mode": pic.chroma_mode.astype(np.int32),
-        "i4_modes": pic.i4_modes.astype(np.int32),
-        "luma_coeffs": pic.luma_coeffs.astype(np.int32),
-        "luma_dc": pic.luma_dc.astype(np.int32),
-        "chroma_dc": pic.chroma_dc.astype(np.int32),
-        "chroma_ac": pic.chroma_ac.reshape(n, 2, 2, 2, 16).astype(np.int32),
-        "total_coeff": pic.total_coeff.astype(np.int32),
-        "mv": pic.mv.astype(np.int32),
-        "ref_blk": ref_blk.astype(np.int32),
-        "ipcm": pic.ipcm,
-        "av_a": av_a, "av_b": av_b, "av_c": av_c, "av_d": av_d,
-        "idc": idc, "offA": offA, "offB": offB,
-        "FT": FT, "FL": FL, "enable": enable,
-        "is_inter": (cls == MB_P),
-        "is_pcm": (cls == MB_IPCM),
-        "decoded": dec,
+        "mb_class": P(cls.astype(np.int32)),
+        "qp": P(pic.qp.astype(np.int32)),
+        "cbp": P(pic.cbp.astype(np.int32)),
+        "is_i16": P(cls == MB_I16x16),
+        "i16_mode": P(pic.i16_mode.astype(np.int32)),
+        "chroma_mode": P(pic.chroma_mode.astype(np.int32)),
+        "i4_modes": P(pic.i4_modes.astype(np.int32)),
+        "luma_coeffs": P(pic.luma_coeffs.astype(np.int32)),
+        "luma_dc": P(pic.luma_dc.astype(np.int32)),
+        "chroma_dc": P(pic.chroma_dc.astype(np.int32)),
+        "chroma_ac": P(pic.chroma_ac.reshape(n, 2, 2, 2, 16)
+                       .astype(np.int32)),
+        "total_coeff": P(pic.total_coeff.astype(np.int32)),
+        "mv": P(pic.mv.astype(np.int32)),
+        "ref_blk": P(ref_blk.astype(np.int32)),
+        "ipcm": P(pic.ipcm),
+        "px": P(px), "py": P(py),
+        "av_a": P(av_a), "av_b": P(av_b), "av_c": P(av_c), "av_d": P(av_d),
+        "offA": P(offA), "offB": P(offB), "chroma_off_mb": P(coff),
+        "FT": P(FT), "FL": P(FL), "enable": P(enable),
+        "is_inter": P((cls == MB_P) & ~(concealed
+                                        if concealed is not None
+                                        else np.zeros(n, bool))),
+        "is_pcm": P(cls == MB_IPCM),
+        "whole_conceal": np.array(
+            getattr(pic, "whole_pic_concealed", False)),
     }
 
 
-# ---------------------------------------------------------------------------
-# jitted pipeline
-# ---------------------------------------------------------------------------
-
-def _mb_planes_to_image(mb_data: jnp.ndarray, h_mbs: int, w_mbs: int,
-                        mb_size: int) -> jnp.ndarray:
-    """[n, S, S] -> [h*S, w*S]."""
-    return mb_data.reshape(h_mbs, w_mbs, mb_size, mb_size) \
-        .transpose(0, 2, 1, 3).reshape(h_mbs * mb_size, w_mbs * mb_size)
+def step_tables(w_mbs: int, h_mbs: int) -> Dict[str, np.ndarray]:
+    lay = get_layout(w_mbs, h_mbs)
+    return {"shA": lay.shA, "shB": lay.shB, "shC": lay.shC, "shD": lay.shD,
+            "d": np.arange(lay.S, dtype=np.int32)}
 
 
-def _image_to_mb_planes(img: jnp.ndarray, h_mbs: int, w_mbs: int,
-                        mb_size: int) -> jnp.ndarray:
-    return img.reshape(h_mbs, mb_size, w_mbs, mb_size) \
-        .transpose(0, 2, 1, 3).reshape(h_mbs * w_mbs, mb_size, mb_size)
+def _unpack_to_plane(blocks: jnp.ndarray, lay: WavefrontLayout,
+                     mb_size: int) -> jnp.ndarray:
+    """[S, LS, mb, mb] packed -> [h*mb, w*mb] raster plane."""
+    flat = blocks.reshape(lay.S * lay.LS, mb_size, mb_size)
+    idx = jnp.asarray(lay.slot_row * lay.LS + lay.slot_lane)
+    mb = jnp.take(flat, idx, axis=0)                    # [n, mb, mb]
+    return mb.reshape(lay.h, lay.w, mb_size, mb_size) \
+        .transpose(0, 2, 1, 3).reshape(lay.h * mb_size, lay.w * mb_size)
+
+
+def _row(x: jnp.ndarray, d) -> jnp.ndarray:
+    d = jnp.maximum(d, 0)
+    return jax.lax.dynamic_index_in_dim(x, d, axis=0, keepdims=False)
+
+
+def _roll(x: jnp.ndarray, sh) -> jnp.ndarray:
+    """Lane shift: out[l] = x[l + sh] (wrap lanes are masked by callers)."""
+    return jnp.roll(x, -sh, axis=0)
 
 
 def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
-                   ref_y: jnp.ndarray, ref_cb: jnp.ndarray,
-                   ref_cr: jnp.ndarray, diag: jnp.ndarray,
-                   w_mbs: int, h_mbs: int, chroma_qp_offset: int):
-    n = w_mbs * h_mbs
-    H, W = h_mbs * 16, w_mbs * 16
+                        ref_y: jnp.ndarray, ref_cb: jnp.ndarray,
+                        ref_cr: jnp.ndarray, steps: Dict[str, jnp.ndarray],
+                        w_mbs: int, h_mbs: int, chroma_qp_offset: int):
+    lay = get_layout(w_mbs, h_mbs)
+    S, LS = lay.S, lay.LS
+    N = S * LS
 
-    # ---- stage 1: residuals -------------------------------------------
-    res_y, res_cb, res_cr = K_res.residual_planes(
-        arrs["luma_coeffs"].reshape(n, 4, 4, 16), arrs["luma_dc"],
-        arrs["chroma_dc"], arrs["chroma_ac"], arrs["qp"], arrs["cbp"],
-        arrs["is_i16"], chroma_qp_offset, w_mbs, h_mbs)
+    def flat(a):
+        return a.reshape((N,) + a.shape[2:])
+
+    # ---- stage 1: residuals (packed block space) ----------------------
+    qp = flat(arrs["qp"])
+    cbp = flat(arrs["cbp"])
+    is_i16 = flat(arrs["is_i16"])
+    dc = K_res.luma_dc_transform(flat(arrs["luma_dc"]), qp)      # [N,4,4]
+    coeffs = flat(arrs["luma_coeffs"])                           # [N,4,4,16]
+    qp_b = jnp.broadcast_to(qp[:, None, None], (N, 4, 4))
+    res_full = K_res.dequant_idct(coeffs, qp_b)
+    res_i16 = K_res.dequant_idct(coeffs, qp_b, dc=dc.reshape(N, 16)
+                                 .reshape(N, 4, 4))
+    blk8 = (np.arange(4) // 2)[:, None] * 2 + (np.arange(4) // 2)[None, :]
+    has = ((cbp[:, None, None] >> jnp.asarray(blk8)[None]) & 1) != 0
+    res = jnp.where(is_i16[:, None, None, None, None], res_i16,
+                    jnp.where(has[..., None, None], res_full, 0))
+    res_y_mb = res.transpose(0, 1, 3, 2, 4).reshape(N, 16, 16)
+
+    qpc = K_res.QP_C_J[jnp.clip(qp + chroma_qp_offset, 0, 51)]
+    cdc = K_res.chroma_dc_transform(flat(arrs["chroma_dc"]), qpc[:, None])
+    cbp_c = cbp >> 4
+    cdc = jnp.where((cbp_c > 0)[:, None, None, None],
+                    cdc.reshape(N, 2, 2, 2), 0)
+    qpc_b = jnp.broadcast_to(qpc[:, None, None, None], (N, 2, 2, 2))
+    cac = flat(arrs["chroma_ac"])
+    cres_ac = K_res.dequant_idct(cac, qpc_b, dc=cdc)
+    cres_dc = K_res.dequant_idct(jnp.zeros_like(cac), qpc_b, dc=cdc)
+    has_ac = (cbp_c == 2)[:, None, None, None, None, None]
+    has_any = (cbp_c > 0)[:, None, None, None, None, None]
+    cres = jnp.where(has_any, jnp.where(has_ac, cres_ac, cres_dc), 0)
+    res_cb_mb = cres[:, 0].transpose(0, 1, 3, 2, 4).reshape(N, 8, 8)
+    res_cr_mb = cres[:, 1].transpose(0, 1, 3, 2, 4).reshape(N, 8, 8)
 
     # ---- stage 2: inter MC --------------------------------------------
-    mv = arrs["mv"]                                    # [n,4,4,2]
-    ref_blk = jnp.maximum(arrs["ref_blk"], 0)          # [n,4,4]
-    mb_ids = jnp.arange(n)
-    mbx = (mb_ids % w_mbs)[:, None, None]
-    mby = (mb_ids // w_mbs)[:, None, None]
+    mv = flat(arrs["mv"])                                # [N,4,4,2]
+    ref_blk = jnp.maximum(flat(arrs["ref_blk"]), 0)
+    pxv = flat(arrs["px"])
+    pyv = flat(arrs["py"])
     bx = jnp.arange(4)[None, None, :]
     by = jnp.arange(4)[None, :, None]
-    px = jnp.broadcast_to(mbx * 16 + bx * 4, (n, 4, 4)).reshape(-1)
-    py = jnp.broadcast_to(mby * 16 + by * 4, (n, 4, 4)).reshape(-1)
+    bpx = jnp.broadcast_to(pxv[:, None, None] + bx * 4, (N, 4, 4)) \
+        .reshape(-1)
+    bpy = jnp.broadcast_to(pyv[:, None, None] + by * 4, (N, 4, 4)) \
+        .reshape(-1)
     mvx = mv[..., 0].reshape(-1)
     mvy = mv[..., 1].reshape(-1)
     ridx = ref_blk.reshape(-1)
-    pred_y = K_mc.mc_luma_blocks(ref_y, ridx, px, py, mvx, mvy)
-    pred_y = pred_y.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
-        .reshape(n, 16, 16)
-    cpx = jnp.broadcast_to(mbx * 8 + bx * 2, (n, 4, 4)).reshape(-1)
-    cpy = jnp.broadcast_to(mby * 8 + by * 2, (n, 4, 4)).reshape(-1)
-    pred_cb = K_mc.mc_chroma_blocks(ref_cb, ridx, cpx, cpy, mvx, mvy)
-    pred_cr = K_mc.mc_chroma_blocks(ref_cr, ridx, cpx, cpy, mvx, mvy)
-    pred_cb = pred_cb.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
-        .reshape(n, 8, 8)
-    pred_cr = pred_cr.reshape(n, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
-        .reshape(n, 8, 8)
+    pred_y = K_mc.mc_luma_blocks(ref_y, ridx, bpx, bpy, mvx, mvy)
+    pred_y = pred_y.reshape(N, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(N, 16, 16)
+    cpx = jnp.broadcast_to((pxv // 2)[:, None, None] + bx * 2,
+                           (N, 4, 4)).reshape(-1)
+    cpy = jnp.broadcast_to((pyv // 2)[:, None, None] + by * 2,
+                           (N, 4, 4)).reshape(-1)
+    pred_cb = K_mc.mc_chroma_blocks(ref_cb, ridx, cpx, cpy, mvx, mvy) \
+        .reshape(N, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(N, 8, 8)
+    pred_cr = K_mc.mc_chroma_blocks(ref_cr, ridx, cpx, cpy, mvx, mvy) \
+        .reshape(N, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(N, 8, 8)
 
     # ---- stage 3: base assembly ---------------------------------------
-    res_y_mb = _image_to_mb_planes(res_y, h_mbs, w_mbs, 16)
-    res_cb_mb = _image_to_mb_planes(res_cb, h_mbs, w_mbs, 8)
-    res_cr_mb = _image_to_mb_planes(res_cr, h_mbs, w_mbs, 8)
-    inter_y = jnp.clip(pred_y + res_y_mb, 0, 255)
-    inter_cb = jnp.clip(pred_cb + res_cb_mb, 0, 255)
-    inter_cr = jnp.clip(pred_cr + res_cr_mb, 0, 255)
-    pcm = arrs["ipcm"].astype(jnp.int32)
-    pcm_y = pcm[:, :256].reshape(n, 16, 16)
-    pcm_cb = pcm[:, 256:320].reshape(n, 8, 8)
-    pcm_cr = pcm[:, 320:384].reshape(n, 8, 8)
-    is_p = arrs["is_inter"][:, None, None]
-    is_pcm = arrs["is_pcm"][:, None, None]
-    base_y = jnp.where(is_pcm, pcm_y, jnp.where(is_p, inter_y, 0))
-    base_cb = jnp.where(is_pcm, pcm_cb, jnp.where(is_p, inter_cb, 0))
-    base_cr = jnp.where(is_pcm, pcm_cr, jnp.where(is_p, inter_cr, 0))
-    img_y = _mb_planes_to_image(base_y, h_mbs, w_mbs, 16)
-    img_cb = _mb_planes_to_image(base_cb, h_mbs, w_mbs, 8)
-    img_cr = _mb_planes_to_image(base_cr, h_mbs, w_mbs, 8)
+    pcm = flat(arrs["ipcm"]).astype(jnp.int32)
+    is_p = flat(arrs["is_inter"])[:, None, None]
+    is_pcm = flat(arrs["is_pcm"])[:, None, None]
+    base_y = jnp.where(is_pcm, pcm[:, :256].reshape(N, 16, 16),
+                       jnp.where(is_p, jnp.clip(pred_y + res_y_mb, 0, 255),
+                                 0))
+    base_cb = jnp.where(is_pcm, pcm[:, 256:320].reshape(N, 8, 8),
+                        jnp.where(is_p,
+                                  jnp.clip(pred_cb + res_cb_mb, 0, 255), 0))
+    base_cr = jnp.where(is_pcm, pcm[:, 320:384].reshape(N, 8, 8),
+                        jnp.where(is_p,
+                                  jnp.clip(pred_cr + res_cr_mb, 0, 255), 0))
+
+    Y = base_y.reshape(S, LS, 16, 16)
+    CB = base_cb.reshape(S, LS, 8, 8)
+    CR = base_cr.reshape(S, LS, 8, 8)
+    resY = res_y_mb.reshape(S, LS, 16, 16)
+    resCB = res_cb_mb.reshape(S, LS, 8, 8)
+    resCR = res_cr_mb.reshape(S, LS, 8, 8)
+
+    cls = arrs["mb_class"]
+    steps_x = {k: jnp.asarray(v) for k, v in steps.items()}
 
     # ---- stage 4: intra wavefront -------------------------------------
-    yP = jnp.pad(img_y, PADF)
-    cbP = jnp.pad(img_cb, PADF)
-    crP = jnp.pad(img_cr, PADF)
+    def intra_step(carry, xs):
+        Y, CB, CR = carry
+        d, shA, shB, shC, shD = (xs["d"], xs["shA"], xs["shB"], xs["shC"],
+                                 xs["shD"])
+        own = _row(Y, d)                       # [LS,16,16]
+        A = _roll(_row(Y, d - 1), shA)
+        C = _roll(_row(Y, d - 1), shC)
+        B = _roll(_row(Y, d - 2), shB)
+        D = _roll(_row(Y, d - 3), shD)
 
-    M = diag.shape[1]
-    cls = arrs["mb_class"]
+        av_a = _row(arrs["av_a"], d)
+        av_b = _row(arrs["av_b"], d)
+        av_c = _row(arrs["av_c"], d)
+        av_d = _row(arrs["av_d"], d)
 
-    def intra_step(carry, addrs):
-        yP, cbP, crP = carry
-        valid = addrs >= 0
-        a = jnp.maximum(addrs, 0)
-        amx = a % w_mbs
-        amy = a // w_mbs
-        py0 = amy * 16 + PADF
-        px0 = amx * 16 + PADF
-        cy0 = amy * 8 + PADF
-        cx0 = amx * 8 + PADF
-
-        up_row = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-            yP, (yy, xx), (1, 21))[0])(py0 - 1, px0 - 1)      # [M,21]
-        left_col = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-            yP, (yy, xx), (16, 1))[:, 0])(py0, px0 - 1)       # [M,16]
-        cur = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-            yP, (yy, xx), (16, 16)))(py0, px0)                # [M,16,16]
-        res_mb = jnp.take(res_y_mb, a, axis=0)
-
-        av_a = jnp.take(arrs["av_a"], a)
-        av_b = jnp.take(arrs["av_b"], a)
-        av_c = jnp.take(arrs["av_c"], a)
-        av_d = jnp.take(arrs["av_d"], a)
-
-        # mask unavailable neighbour pels to 0 (legal modes never use them)
+        up_row = jnp.concatenate(
+            [D[:, 15, 15][:, None], B[:, 15, :], C[:, 15, 0:4]], axis=1)
+        left_col = A[:, :, 15]                 # [LS,16]
+        lane_ix = jnp.arange(21)[None]
         up_row = jnp.where(av_b[:, None], up_row,
-                           jnp.where(jnp.arange(21)[None] == 0,
-                                     up_row, 0))
+                           jnp.where(lane_ix == 0, up_row, 0))
         up_row = up_row.at[:, 0].set(jnp.where(av_d, up_row[:, 0], 0))
         left_masked = jnp.where(av_a[:, None], left_col, 0)
 
-        # --- I4x4: 16 z-order blocks via fori_loop on a local buffer ---
-        # (single traced body: dynamic offsets per z keep compile small)
-        loc = jnp.zeros((M, 17, 25), jnp.int32)
+        res_mb = _row(resY, d)
+
+        loc = jnp.zeros((LS, 17, 25), jnp.int32)
         loc = loc.at[:, 0, :21].set(up_row)
         loc = loc.at[:, 1:17, 0].set(left_masked)
-        i4_modes = jnp.take(arrs["i4_modes"], a, axis=0)      # [M,4,4]
-        i4_modes_z = i4_modes.reshape(M, 16)[:, _Z_PERM_J]    # [M,16] z order
+        i4_modes = _row(arrs["i4_modes"], d)
+        i4_modes_z = i4_modes.reshape(LS, 16)[:, _Z_PERM_J]
 
         def blk_body(z, loc):
             bx4 = _BX4_J[z]
             by4 = _BY4_J[z]
-            nb = jax.lax.dynamic_slice(loc, (0, by4, bx4), (M, 5, 9))
+            nb = jax.lax.dynamic_slice(loc, (0, by4, bx4), (LS, 5, 9))
             ul = nb[:, 0, 0]
             up8 = nb[:, 0, 1:9]
             left4 = nb[:, 1:5, 0]
-            # availability select per z (0: av_b / av_a, 1: av_c,
-            # 2: always True, 3: always False)
-            def sel(code):
-                return jnp.where(code == 0, av_b,
-                                 jnp.where(code == 1, av_c, code == 2))
+            code_ur = _AVUR_CODE_J[z]
             b_av_u = jnp.where(_AVU_CODE_J[z] == 0, av_b, True)
-            b_av_ur = sel(_AVUR_CODE_J[z])
+            b_av_ur = jnp.where(code_ur == 0, av_b,
+                                jnp.where(code_ur == 1, av_c, code_ur == 2))
             b_av_l = jnp.where(_AVL_CODE_J[z] == 0, av_a, True)
             ur = jnp.where(b_av_ur[:, None], up8[:, 4:8], up8[:, 3:4])
             up8 = jnp.concatenate([up8[:, :4], ur], axis=1)
             v = jnp.concatenate([ul[:, None], up8, left4], axis=1)
             mode = i4_modes_z[:, z]
             pred = K_in.predict_i4x4_batch(v, mode, b_av_u, b_av_l)
-            res_b = jax.lax.dynamic_slice(res_mb, (0, by4, bx4), (M, 4, 4))
+            res_b = jax.lax.dynamic_slice(res_mb, (0, by4, bx4), (LS, 4, 4))
             blk = jnp.clip(pred + res_b, 0, 255)
             return jax.lax.dynamic_update_slice(loc, blk,
                                                 (0, by4 + 1, bx4 + 1))
@@ -347,182 +413,270 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
         loc = jax.lax.fori_loop(0, 16, blk_body, loc)
         i4_out = loc[:, 1:17, 1:17]
 
-        # --- I16x16 ------------------------------------------------------
-        i16_mode = jnp.take(arrs["i16_mode"], a)
-        up16 = up_row[:, 1:17]
-        pred16 = K_in.predict_i16_batch(up16, left_masked, up_row[:, 0],
-                                        i16_mode, av_b, av_a)
+        i16_mode = _row(arrs["i16_mode"], d)
+        pred16 = K_in.predict_i16_batch(up_row[:, 1:17], left_masked,
+                                        up_row[:, 0], i16_mode, av_b, av_a)
         i16_out = jnp.clip(pred16 + res_mb, 0, 255)
 
-        mb_cls = jnp.take(cls, a)
+        mb_cls = _row(cls, d)
         new_y = jnp.where((mb_cls == MB_I4x4)[:, None, None], i4_out,
                           jnp.where((mb_cls == MB_I16x16)[:, None, None],
-                                    i16_out, cur))
+                                    i16_out, own))
+        Y = jax.lax.dynamic_update_index_in_dim(Y, new_y, jnp.maximum(d, 0),
+                                                axis=0)
 
-        # --- chroma ------------------------------------------------------
-        cmode = jnp.take(arrs["chroma_mode"], a)
+        cmode = _row(arrs["chroma_mode"], d)
         is_intra_c = (mb_cls == MB_I4x4) | (mb_cls == MB_I16x16)
-        outs_c = []
-        for plane, res_c in ((cbP, res_cb_mb), (crP, res_cr_mb)):
-            uprow_c = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-                plane, (yy, xx), (1, 9))[0])(cy0 - 1, cx0 - 1)
-            left_c = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-                plane, (yy, xx), (8, 1))[:, 0])(cy0, cx0 - 1)
-            cur_c = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-                plane, (yy, xx), (8, 8)))(cy0, cx0)
-            upc = jnp.where(av_b[:, None], uprow_c[:, 1:9], 0)
-            ulc = jnp.where(av_d, uprow_c[:, 0], 0)
-            leftc = jnp.where(av_a[:, None], left_c, 0)
+        for plane_i, (PL, resC) in enumerate(((CB, resCB), (CR, resCR))):
+            ownc = _row(PL, d)
+            Ac = _roll(_row(PL, d - 1), shA)
+            Bc = _roll(_row(PL, d - 2), shB)
+            Dc = _roll(_row(PL, d - 3), shD)
+            upc = jnp.where(av_b[:, None], Bc[:, 7, :], 0)
+            ulc = jnp.where(av_d, Dc[:, 7, 7], 0)
+            leftc = jnp.where(av_a[:, None], Ac[:, :, 7], 0)
             predc = K_in.predict_chroma_batch(upc, leftc, ulc, cmode,
                                               av_b, av_a)
-            resc = jnp.take(res_c, a, axis=0)
-            outc = jnp.clip(predc + resc, 0, 255)
-            outs_c.append(jnp.where(is_intra_c[:, None, None], outc, cur_c))
+            outc = jnp.clip(predc + _row(resC, d), 0, 255)
+            newc = jnp.where(is_intra_c[:, None, None], outc, ownc)
+            if plane_i == 0:
+                CB = jax.lax.dynamic_update_index_in_dim(
+                    CB, newc, jnp.maximum(d, 0), axis=0)
+            else:
+                CR = jax.lax.dynamic_update_index_in_dim(
+                    CR, newc, jnp.maximum(d, 0), axis=0)
+        return (Y, CB, CR), None
 
-        # --- scatter back ----------------------------------------------
-        def scatter(plane, vals, y0v, x0v, size):
-            rows = y0v[:, None, None] + jnp.arange(size)[None, :, None]
-            cols = x0v[:, None, None] + jnp.arange(size)[None, None, :]
-            rows = jnp.where(valid[:, None, None], rows, plane.shape[0] + 1)
-            return plane.at[rows, cols].set(vals, mode="drop")
+    (Y, CB, CR), _ = jax.lax.scan(intra_step, (Y, CB, CR), steps_x)
 
-        yP = scatter(yP, new_y, py0, px0, 16)
-        cbP = scatter(cbP, outs_c[0], cy0, cx0, 8)
-        crP = scatter(crP, outs_c[1], cy0, cx0, 8)
-        return (yP, cbP, crP), None
-
-    (yP, cbP, crP), _ = _scan(intra_step, (yP, cbP, crP), diag)
-
-    # ---- stage 5: deblock ---------------------------------------------
+    # ---- stage 5: deblock wavefront -----------------------------------
+    tc4 = arrs["total_coeff"]          # [S,LS,4,4] raster
+    mvp = arrs["mv"]
+    refp = arrs["ref_blk"]
     intra_mb = ~arrs["is_inter"]
-    bs_top, bs_left = K_db.boundary_strengths(
-        arrs["total_coeff"], arrs["mv"], arrs["ref_blk"][:, ::2, ::2],
-        intra_mb, arrs["FT"], arrs["FL"], w_mbs, h_mbs)
-    en = arrs["enable"][:, None, None]
-    bs_top = jnp.where(en, bs_top, 0)
-    bs_left = jnp.where(en, bs_left, 0)
-    thr_l = K_db.edge_thresholds(arrs["qp"], arrs["qp_a"], arrs["qp_b"],
-                                 arrs["offA"], arrs["offB"])
-    thr_c = K_db.edge_thresholds(arrs["qp"], arrs["qp_a"], arrs["qp_b"],
-                                 arrs["offA"], arrs["offB"],
-                                 chroma_off=chroma_qp_offset)
+    FT = arrs["FT"]
+    FL = arrs["FL"]
+    EN = arrs["enable"]
+    qp_p = arrs["qp"]
+    offA_p = arrs["offA"]
+    offB_p = arrs["offB"]
+    coff_p = arrs["chroma_off_mb"]
 
-    def db_step(carry, addrs):
-        yP, cbP, crP = carry
-        valid = addrs >= 0
-        a = jnp.maximum(addrs, 0)
-        amx = a % w_mbs
-        amy = a // w_mbs
-        wy0 = amy * 16  # window top in padded coords (py-4+PADF)
-        wx0 = amx * 16
-        win = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-            yP, (yy, xx), (20, 20)))(wy0, wx0)              # [M,20,20]
+    def bs_pair(tc_q, tc_p, mv_q, mv_p, rf_q, rf_p):
+        coeff = (tc_q > 0) | (tc_p > 0)
+        mvd = (jnp.abs(mv_q[..., 0] - mv_p[..., 0]) >= 4) | \
+              (jnp.abs(mv_q[..., 1] - mv_p[..., 1]) >= 4)
+        return jnp.where(coeff, 2, jnp.where(mvd | (rf_q != rf_p), 1, 0))
 
-        bt = jnp.take(bs_top, a, axis=0)                    # [M,4,4]
-        bl = jnp.take(bs_left, a, axis=0)
+    def db_step(carry, xs):
+        Y, CB, CR = carry
+        d, shA, shB = xs["d"], xs["shA"], xs["shB"]
+        dm1 = jnp.maximum(d - 1, 0)
+        dm2 = jnp.maximum(d - 2, 0)
+        own = _row(Y, d)
+        left = _roll(_row(Y, d - 1), shA)
+        up = _roll(_row(Y, d - 2), shB)
 
-        def th(d, cls_):
-            al, be, ia = d[cls_]
-            return (jnp.take(al, a), jnp.take(be, a), jnp.take(ia, a))
+        tc_o = _row(tc4, d)
+        tc_a = _roll(_row(tc4, d - 1), shA)
+        tc_b = _roll(_row(tc4, d - 2), shB)
+        mv_o = _row(mvp, d)
+        mv_a = _roll(_row(mvp, d - 1), shA)
+        mv_b = _roll(_row(mvp, d - 2), shB)
+        rf_o = _row(refp, d)
+        rf_a = _roll(_row(refp, d - 1), shA)
+        rf_b = _roll(_row(refp, d - 2), shB)
+        in_o = _row(intra_mb, d)
+        in_a = _roll(_row(intra_mb, d - 1), shA)
+        in_b = _roll(_row(intra_mb, d - 2), shB)
+        ft = _row(FT, d)
+        fl = _row(FL, d)
+        en = _row(EN, d)
 
-        l_in, l_tp, l_lf = th(thr_l, "inner"), th(thr_l, "top"), \
-            th(thr_l, "left")
+        # boundary strengths (raster block coords)
+        it = bs_pair(tc_o[:, 1:, :], tc_o[:, :3, :],
+                     mv_o[:, 1:, :], mv_o[:, :3, :],
+                     rf_o[:, 1:, :], rf_o[:, :3, :])
+        il = bs_pair(tc_o[:, :, 1:], tc_o[:, :, :3],
+                     mv_o[:, :, 1:], mv_o[:, :, :3],
+                     rf_o[:, :, 1:], rf_o[:, :, :3])
+        it = jnp.where(in_o[:, None, None], 3, it)
+        il = jnp.where(in_o[:, None, None], 3, il)
+        te = bs_pair(tc_o[:, 0, :], tc_b[:, 3, :], mv_o[:, 0, :],
+                     mv_b[:, 3, :], rf_o[:, 0, :], rf_b[:, 3, :])
+        te = jnp.where((in_o | in_b)[:, None], 4, te)
+        te = jnp.where(ft[:, None], te, 0)
+        le = bs_pair(tc_o[:, :, 0], tc_a[:, :, 3], mv_o[:, :, 0],
+                     mv_a[:, :, 3], rf_o[:, :, 0], rf_a[:, :, 3])
+        le = jnp.where((in_o | in_a)[:, None], 4, le)
+        le = jnp.where(fl[:, None], le, 0)
+        bt = jnp.concatenate([te[:, None, :], it], axis=1)   # [LS,4,4]
+        bl = jnp.concatenate([le[:, :, None], il], axis=2)
+        bt = jnp.where(en[:, None, None], bt, 0)
+        bl = jnp.where(en[:, None, None], bl, 0)
 
-        def pick_thr(thr_edge, thr_inner, k):
-            return tuple(jnp.where(k == 0, e, i)
-                         for e, i in zip(thr_edge, thr_inner))
+        qp_o = _row(qp_p, d)
+        qp_a = _roll(_row(qp_p, d - 1), shA)
+        qp_b2 = _roll(_row(qp_p, d - 2), shB)
+        oA = _row(offA_p, d)
+        oB = _row(offB_p, d)
+        co = _row(coff_p, d)
 
-        # vertical edges, columns k=0..3 at local col 4+4k (fori: one body)
+        def thr(qo, qa, qb, cmap):
+            def mk(q):
+                ia = jnp.clip(q + oA, 0, 51)
+                ib = jnp.clip(q + oB, 0, 51)
+                return (K_db.ALPHAS_J[ia], K_db.BETAS_J[ib], ia)
+            qm = cmap(qo)
+            inner = mk(qm)
+            topq = jnp.where(qb != qo, (qm + cmap(qb) + 1) >> 1, qm)
+            leftq = jnp.where(qa != qo, (qm + cmap(qa) + 1) >> 1, qm)
+            return inner, mk(topq), mk(leftq)
+
+        l_in, l_tp, l_lf = thr(qp_o, qp_a, qp_b2, lambda q: q)
+        c_in, c_tp, c_lf = thr(
+            qp_o, qp_a, qp_b2,
+            lambda q: K_res.QP_C_J[jnp.clip(q + co, 0, 51)])
+
+        # assemble 20x20 window: own + left 4 cols + up 4 rows
+        win = jnp.zeros((LS, 20, 20), jnp.int32)
+        win = win.at[:, 4:20, 4:20].set(own)
+        win = win.at[:, 4:20, 0:4].set(left[:, :, 12:16])
+        win = win.at[:, 0:4, 4:20].set(up[:, 12:16, :])
+
+        def pick_thr(e, i, k):
+            return tuple(jnp.where(k == 0, a, b) for a, b in zip(e, i))
+
         def v_body(k, win):
             c = 4 + 4 * k
             alpha, beta, ia = pick_thr(l_lf, l_in, k)
             bs4 = jax.lax.dynamic_index_in_dim(bl, k, axis=2,
-                                               keepdims=False)  # [M,4]
-            bs_col = jnp.repeat(bs4, 4, axis=1)                 # [M,16]
-            cols = jax.lax.dynamic_slice(win, (0, 4, c - 4), (M, 16, 8))
+                                               keepdims=False)
+            bs_col = jnp.repeat(bs4, 4, axis=1)
+            cols = jax.lax.dynamic_slice(win, (0, 4, c - 4), (LS, 16, 8))
             p3, p2, p1, p0 = (cols[..., 0], cols[..., 1], cols[..., 2],
                               cols[..., 3])
             q0, q1, q2, q3 = (cols[..., 4], cols[..., 5], cols[..., 6],
                               cols[..., 7])
-            p2o, p1o, p0o, q0o, q1o, q2o = K_db.filter_lines_luma(
-                p3, p2, p1, p0, q0, q1, q2, q3, bs_col,
-                alpha[:, None], beta[:, None], ia[:, None])
-            out = jnp.stack([p2o, p1o, p0o, q0o, q1o, q2o], axis=-1)
+            o = K_db.filter_lines_luma(p3, p2, p1, p0, q0, q1, q2, q3,
+                                       bs_col, alpha[:, None],
+                                       beta[:, None], ia[:, None])
+            out = jnp.stack(o, axis=-1)
             return jax.lax.dynamic_update_slice(win, out, (0, 4, c - 3))
 
         win = jax.lax.fori_loop(0, 4, v_body, win)
 
-        # horizontal edges, rows k=0..3 at local row 4+4k
         def h_body(k, win):
             r = 4 + 4 * k
             alpha, beta, ia = pick_thr(l_tp, l_in, k)
             bs4 = jax.lax.dynamic_index_in_dim(bt, k, axis=1,
-                                               keepdims=False)  # [M,4]
-            bs_row = jnp.repeat(bs4, 4, axis=1)                 # [M,16]
-            rows = jax.lax.dynamic_slice(win, (0, r - 4, 4), (M, 8, 16))
+                                               keepdims=False)
+            bs_row = jnp.repeat(bs4, 4, axis=1)
+            rows = jax.lax.dynamic_slice(win, (0, r - 4, 4), (LS, 8, 16))
             p3, p2, p1, p0 = (rows[:, 0], rows[:, 1], rows[:, 2],
                               rows[:, 3])
             q0, q1, q2, q3 = (rows[:, 4], rows[:, 5], rows[:, 6],
                               rows[:, 7])
-            p2o, p1o, p0o, q0o, q1o, q2o = K_db.filter_lines_luma(
-                p3, p2, p1, p0, q0, q1, q2, q3, bs_row,
-                alpha[:, None], beta[:, None], ia[:, None])
-            out = jnp.stack([p2o, p1o, p0o, q0o, q1o, q2o], axis=1)
+            o = K_db.filter_lines_luma(p3, p2, p1, p0, q0, q1, q2, q3,
+                                       bs_row, alpha[:, None],
+                                       beta[:, None], ia[:, None])
+            out = jnp.stack(o, axis=1)
             return jax.lax.dynamic_update_slice(win, out, (0, r - 3, 4))
 
         win = jax.lax.fori_loop(0, 4, h_body, win)
 
-        def scatter(plane, vals, y0v, x0v, size):
-            rows = y0v[:, None, None] + jnp.arange(size)[None, :, None]
-            cols = x0v[:, None, None] + jnp.arange(size)[None, None, :]
-            rows = jnp.where(valid[:, None, None], rows, plane.shape[0] + 1)
-            return plane.at[rows, cols].set(vals, mode="drop")
+        # write back: own, left cols 13:15, up rows 13:15
+        own2 = win[:, 4:20, 4:20]
+        left2 = left.at[:, :, 13:16].set(win[:, 4:20, 1:4])
+        up2 = up.at[:, 13:16, :].set(win[:, 1:4, 4:20])
 
-        yP = scatter(yP, win, wy0, wx0, 20)
+        def unroll_write(P2, d_idx, sh, modified, original_row):
+            back = jnp.roll(modified, sh, axis=0)
+            orig = _row(P2, d_idx)
+            lane = jnp.arange(LS)
+            wrapped = jnp.where(sh >= 0, lane < sh, lane >= LS + sh)
+            back = jnp.where(wrapped[:, None, None], orig, back)
+            return jax.lax.dynamic_update_index_in_dim(
+                P2, back, jnp.maximum(d_idx, 0), axis=0)
+
+        Y = jax.lax.dynamic_update_index_in_dim(Y, own2,
+                                                jnp.maximum(d, 0), axis=0)
+        # guard: steps 0/1 have no left/up rows; shifts there are 0 and
+        # bs gating leaves the rows unchanged, so write-back is a no-op
+        Y = jax.lax.cond(d >= 1,
+                         lambda Y: unroll_write(Y, d - 1, shA, left2, None),
+                         lambda Y: Y, Y)
+        Y = jax.lax.cond(d >= 2,
+                         lambda Y: unroll_write(Y, d - 2, shB, up2, None),
+                         lambda Y: Y, Y)
 
         # chroma
-        c_in, c_tp, c_lf = th(thr_c, "inner"), th(thr_c, "top"), \
-            th(thr_c, "left")
-        cy0 = amy * 8
-        cx0 = amx * 8
-        new_planes = []
-        for plane in (cbP, crP):
-            cwin = jax.vmap(lambda yy, xx: jax.lax.dynamic_slice(
-                plane, (yy, xx), (12, 12)))(cy0, cx0)       # [M,12,12]
-            # vertical chroma edges at local cols 4 (left) and 8 (inner)
-            for k, (cc, thr) in enumerate(((4, c_lf), (8, c_in))):
-                alpha, beta, ia = thr
-                # bs per chroma row: luma rows 0..3 -> bl col 0/2
+        ownc = {0: _row(CB, d), 1: _row(CR, d)}
+        leftc = {0: _roll(_row(CB, d - 1), shA),
+                 1: _roll(_row(CR, d - 1), shA)}
+        upc = {0: _roll(_row(CB, d - 2), shB),
+               1: _roll(_row(CR, d - 2), shB)}
+        newPL = {}
+        for ci in (0, 1):
+            cwin = jnp.zeros((LS, 12, 12), jnp.int32)
+            cwin = cwin.at[:, 4:12, 4:12].set(ownc[ci])
+            cwin = cwin.at[:, 4:12, 0:4].set(leftc[ci][:, :, 4:8])
+            cwin = cwin.at[:, 0:4, 4:12].set(upc[ci][:, 4:8, :])
+            for k, (cc, t) in enumerate(((4, c_lf), (8, c_in))):
+                alpha, beta, ia = t
                 col = 0 if k == 0 else 2
-                bs_rows = jnp.repeat(bl[:, :, col], 2, axis=1)  # [M,8]
-                cols = cwin[:, 4:12, cc - 2:cc + 2]
-                p1, p0 = cols[..., 0], cols[..., 1]
-                q0, q1 = cols[..., 2], cols[..., 3]
+                bs_rows = jnp.repeat(bl[:, :, col], 2, axis=1)
+                colsl = cwin[:, 4:12, cc - 2:cc + 2]
+                p1, p0 = colsl[..., 0], colsl[..., 1]
+                q0, q1 = colsl[..., 2], colsl[..., 3]
                 p0o, q0o = K_db.filter_lines_chroma(
-                    p1, p0, q0, q1, bs_rows, alpha[:, None], beta[:, None],
-                    ia[:, None])
+                    p1, p0, q0, q1, bs_rows, alpha[:, None],
+                    beta[:, None], ia[:, None])
                 cwin = cwin.at[:, 4:12, cc - 1].set(p0o)
                 cwin = cwin.at[:, 4:12, cc].set(q0o)
-            for k, (rr, thr) in enumerate(((4, c_tp), (8, c_in))):
-                alpha, beta, ia = thr
-                row = 0 if k == 0 else 2
-                bs_cols = jnp.repeat(bt[:, row, :], 2, axis=1)  # [M,8]
-                rows = cwin[:, rr - 2:rr + 2, 4:12]
-                p1, p0 = rows[:, 0], rows[:, 1]
-                q0, q1 = rows[:, 2], rows[:, 3]
+            for k, (rr, t) in enumerate(((4, c_tp), (8, c_in))):
+                alpha, beta, ia = t
+                rowi = 0 if k == 0 else 2
+                bs_cols = jnp.repeat(bt[:, rowi, :], 2, axis=1)
+                rowsl = cwin[:, rr - 2:rr + 2, 4:12]
+                p1, p0 = rowsl[:, 0], rowsl[:, 1]
+                q0, q1 = rowsl[:, 2], rowsl[:, 3]
                 p0o, q0o = K_db.filter_lines_chroma(
-                    p1, p0, q0, q1, bs_cols, alpha[:, None], beta[:, None],
-                    ia[:, None])
+                    p1, p0, q0, q1, bs_cols, alpha[:, None],
+                    beta[:, None], ia[:, None])
                 cwin = cwin.at[:, rr - 1, 4:12].set(p0o)
                 cwin = cwin.at[:, rr, 4:12].set(q0o)
-            new_planes.append(scatter(plane, cwin, cy0, cx0, 12))
-        return (yP, new_planes[0], new_planes[1]), None
+            newPL[ci] = (cwin[:, 4:12, 4:12],
+                         leftc[ci].at[:, :, 5:8].set(cwin[:, 4:12, 1:4]),
+                         upc[ci].at[:, 5:8, :].set(cwin[:, 1:4, 4:12]))
 
-    (yP, cbP, crP), _ = _scan(db_step, (yP, cbP, crP), diag)
+        def apply_chroma(PL, trip):
+            o2, l2, u2 = trip
+            PL = jax.lax.dynamic_update_index_in_dim(
+                PL, o2, jnp.maximum(d, 0), axis=0)
+            PL = jax.lax.cond(
+                d >= 1, lambda P2: unroll_write(P2, d - 1, shA, l2, None),
+                lambda P2: P2, PL)
+            PL = jax.lax.cond(
+                d >= 2, lambda P2: unroll_write(P2, d - 2, shB, u2, None),
+                lambda P2: P2, PL)
+            return PL
 
-    out_y = yP[PADF:PADF + H, PADF:PADF + W]
-    out_cb = cbP[PADF:PADF + H // 2, PADF:PADF + W // 2]
-    out_cr = crP[PADF:PADF + H // 2, PADF:PADF + W // 2]
+        CB = apply_chroma(CB, newPL[0])
+        CR = apply_chroma(CR, newPL[1])
+        return (Y, CB, CR), None
+
+    def run_deblock(args):
+        Y, CB, CR = args
+        (Y, CB, CR), _ = jax.lax.scan(db_step, (Y, CB, CR), steps_x)
+        return Y, CB, CR
+
+    Y, CB, CR = jax.lax.cond(arrs["whole_conceal"],
+                             lambda a: a, run_deblock, (Y, CB, CR))
+
+    out_y = _unpack_to_plane(Y, lay, 16)
+    out_cb = _unpack_to_plane(CB, lay, 8)
+    out_cr = _unpack_to_plane(CR, lay, 8)
     return out_y, out_cb, out_cr
 
 

@@ -20,12 +20,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core.recon_tpu import decode_picture_impl
 
 
-def _batched_impl(arrs, ref_y, ref_cb, ref_cr, diag, w_mbs, h_mbs,
+def _batched_impl(arrs, ref_y, ref_cb, ref_cr, steps, w_mbs, h_mbs,
                   chroma_qp_offset):
     f = functools.partial(decode_picture_impl, w_mbs=w_mbs, h_mbs=h_mbs,
                           chroma_qp_offset=chroma_qp_offset)
     return jax.vmap(f, in_axes=(0, 0, 0, 0, None))(
-        arrs, ref_y, ref_cb, ref_cr, diag)
+        arrs, ref_y, ref_cb, ref_cr, steps)
 
 
 decode_pictures_batch = functools.partial(
