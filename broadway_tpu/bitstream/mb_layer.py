@@ -379,6 +379,8 @@ def parse_p_skip(parser: MbParser, addr: int, ref_slot0: int) -> None:
     parser.cur_filled[:] = False
     pic.mb_class[addr] = MB_P
     pic.skip[addr] = True
+    if ref_slot0 < 0:
+        raise StreamError("reference picture missing (P_Skip)")
     x0, y0 = (addr % parser.w) * 4, (addr // parser.w) * 4
     gx, gy = x0, y0
     A = parser._inter_neighbor(addr, gx - 1, gy)
@@ -504,6 +506,9 @@ def _parse_inter_mb(r: BitReader, parser: MbParser, addr: int, mb_type: int,
         for _ in range(n_parts):
             mvds.append((r.se(), r.se()))
 
+        for rr in refs:
+            if ref_slots[rr] < 0:
+                raise StreamError("reference picture missing")
         if mb_type == 0:
             A, B, C = _inter_neighbors_for(parser, addr, 0, 0, 4)
             mvp = parser._prediction_mv(A, B, C, refs[0])
@@ -583,6 +588,9 @@ def _parse_inter_mb(r: BitReader, parser: MbParser, addr: int, mb_type: int,
                 if ref >= num_ref:
                     raise StreamError("ref_idx out of range")
                 refs.append(ref)
+        for rr in refs:
+            if ref_slots[rr] < 0:
+                raise StreamError("reference picture missing")
         mvds = []
         for p in range(4):
             mvds.append([(r.se(), r.se())

@@ -116,8 +116,6 @@ def parse_slice_header(r: BitReader, nal_type: int, nal_ref_idc: int,
         if h.idr:
             h.no_output_of_prior_pics = r.flag()
             h.long_term_reference = r.flag()
-            if h.long_term_reference:
-                raise StreamError("long-term references not supported")
         else:
             h.adaptive_ref_pic_marking = r.flag()
             if h.adaptive_ref_pic_marking:
@@ -127,10 +125,6 @@ def parse_slice_header(r: BitReader, nal_type: int, nal_ref_idc: int,
                         break
                     if op > 6:
                         raise StreamError("invalid MMCO op")
-                    if op in (2, 3, 5, 6):
-                        # long-term ops unsupported like h264bsd baseline use
-                        if op in (2, 6):
-                            raise StreamError("long-term MMCO unsupported")
                     m = MmcoOp(op)
                     if op in (1, 3):
                         m.val1 = r.ue()

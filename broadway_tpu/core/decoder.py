@@ -240,7 +240,10 @@ class Decoder:
                 p = self.dpb.list[i]
                 if p is None:
                     raise StreamError("ref list shorter than active refs")
-                ref_slots.append(self.dpb.buffer.index(p))
+                # non-existing (frame-gap) refs: any MB using them errors
+                # like the reference's NULL refAddr (concealment path)
+                ref_slots.append(-2 if p.non_existing
+                                 else self.dpb.buffer.index(p))
 
         sg_map = build_slice_group_map(self.sps, self.pps,
                                        header.slice_group_change_cycle)
@@ -270,6 +273,9 @@ class Decoder:
         self.pic_header = header
         self.n_decoded_mbs = 0
         self.slice_count = 0
+        if not header.idr:
+            self.dpb.check_gaps_in_frame_num(
+                header.frame_num, sps.gaps_in_frame_num_allowed)
         self.dpb.allocate_picture()
 
     def _finish_picture(self, concealed: bool) -> None:

@@ -216,6 +216,88 @@ class Dpb:
         if not p.to_be_displayed:
             self.fullness -= 1
 
+    def _mmcop2(self, long_term_pic_num: int) -> None:
+        idx = self._find_pic(long_term_pic_num, False)
+        if idx is None:
+            raise DpbError("MMCO2: picture not found")
+        p = self.buffer[idx]
+        p.status = UNUSED
+        self.num_ref_frames -= 1
+        if not p.to_be_displayed:
+            self.fullness -= 1
+
+    def _mmcop3(self, curr_pic_num: int, diff: int, lt_idx: int) -> None:
+        if self.max_long_term_frame_idx == -1 or \
+                lt_idx > self.max_long_term_frame_idx:
+            raise DpbError("MMCO3: invalid longTermFrameIdx")
+        idx = self._find_pic(curr_pic_num - diff, True)
+        if idx is None:
+            raise DpbError("MMCO3: picture not found")
+        # remove existing long-term with the same index
+        for p in self.buffer:
+            if p.status == LONG_TERM and p.pic_num == lt_idx:
+                p.status = UNUSED
+                self.num_ref_frames -= 1
+                if not p.to_be_displayed:
+                    self.fullness -= 1
+                break
+        p = self.buffer[idx]
+        p.status = LONG_TERM
+        p.pic_num = lt_idx
+
+    def _mmcop6(self, frame_num: int, poc: int, lt_idx: int) -> bool:
+        if self.max_long_term_frame_idx == -1 or \
+                lt_idx > self.max_long_term_frame_idx:
+            raise DpbError("MMCO6: invalid longTermFrameIdx")
+        for p in self.buffer:
+            if p.status == LONG_TERM and p.pic_num == lt_idx:
+                p.status = UNUSED
+                self.num_ref_frames -= 1
+                if not p.to_be_displayed:
+                    self.fullness -= 1
+                break
+        if self.num_ref_frames >= self.max_ref_frames:
+            raise DpbError("MMCO6: no room")
+        cur = self.current
+        cur.frame_num = frame_num
+        cur.pic_num = lt_idx
+        cur.poc = poc
+        cur.status = LONG_TERM
+        cur.to_be_displayed = not self.no_reordering
+        self.num_ref_frames += 1
+        self.fullness += 1
+        return True
+
+    def check_gaps_in_frame_num(self, frame_num: int,
+                                gaps_allowed: bool) -> None:
+        """h264bsdCheckGapsInFrameNum :1244 — synthesize non-existing
+        short-term frames for skipped frame_num values."""
+        if not gaps_allowed:
+            return
+        if frame_num == self.prev_ref_frame_num or \
+                frame_num == (self.prev_ref_frame_num + 1) % \
+                self.max_frame_num:
+            return
+        unused = (self.prev_ref_frame_num + 1) % self.max_frame_num
+        while unused != frame_num:
+            self._set_pic_nums(unused)
+            self._sliding_window()
+            while self.fullness >= self.dpb_size:
+                if not self._output_picture():
+                    break
+            slot = self.buffer[self.dpb_size]
+            assert not slot.to_be_displayed and not slot.is_ref
+            slot.__init__()
+            slot.status = SHORT_TERM
+            slot.non_existing = True
+            slot.frame_num = unused
+            slot.pic_num = unused
+            slot.poc = 0
+            self.fullness += 1
+            self.num_ref_frames += 1
+            self._sort()
+            unused = (unused + 1) % self.max_frame_num
+
     def _mmcop4(self, max_lt_idx: int) -> None:
         self.max_long_term_frame_idx = max_lt_idx
         for p in self.buffer:
@@ -262,12 +344,18 @@ class Dpb:
                 for m in mmco:
                     if m.op == 1:
                         self._mmcop1(frame_num, m.val1 + 1)
+                    elif m.op == 2:
+                        self._mmcop2(m.val1)
+                    elif m.op == 3:
+                        self._mmcop3(frame_num, m.val1 + 1, m.val2)
                     elif m.op == 4:
                         self._mmcop4(m.val1 - 1)
                     elif m.op == 5:
                         self._mmcop5()
                         self.last_contains_mmco5 = True
                         frame_num = 0
+                    elif m.op == 6:
+                        marked_long = self._mmcop6(frame_num, poc, m.val2)
                     else:
                         raise DpbError(f"MMCO op {m.op} unsupported")
             else:

@@ -784,3 +784,70 @@ def cropped_stream(width_mbs=4, height_mbs=3, crop=(4, 6, 2, 8), seed=501,
     info = {"width": width_mbs * 16, "height": height_mbs * 16,
             "crop": crop, "n_frames": n_frames}
     return b"".join(out), info
+
+
+def gaps_stream(width_mbs=3, height_mbs=3, seed=601, qp=28,
+                n_frames=7, drop=(2, 4)):
+    """gaps_in_frame_num_value_allowed: frame_num jumps -> decoder must
+    synthesize non-existing frames; later P frames may reference them
+    (error->concealment path)."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2,
+                    num_ref_frames=3, gaps_allowed=True)
+    pps = PpsConfig(pic_init_qp=qp)
+    out = [write_sps(sps), write_pps(pps)]
+    fn = 0
+    for f in range(n_frames):
+        if f in drop:
+            fn += 1  # skipped frame -> gap in frame_num
+            continue
+        is_idr = f == 0
+        cfg = SliceConfig(slice_type="I" if is_idr else "P",
+                          idr=is_idr, frame_num=fn % 32,
+                          sps=sps, pps=pps, slice_qp=qp, pic_init_qp=qp,
+                          disable_deblocking_idc=0)
+        tracker = IntraModeTracker(width_mbs, height_mbs)
+        mbs = _mixed_mb_list(rng, tracker,
+                             list(range(width_mbs * height_mbs)), qp,
+                             is_p=not is_idr, num_active=1, mvd_range=10)
+        out.append(write_slice(cfg, mbs))
+        fn += 1
+    return b"".join(out), {}
+
+
+def long_term_stream(width_mbs=3, height_mbs=3, seed=611, qp=28):
+    """Long-term reference workflow: IDR, mark a P frame long-term via
+    MMCO4+MMCO6, later reference it via ref list reordering (op 2), and
+    finally unmark with MMCO2."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2,
+                    num_ref_frames=3)
+    pps = PpsConfig(pic_init_qp=qp)
+    out = [write_sps(sps), write_pps(pps)]
+    n_mbs = width_mbs * height_mbs
+
+    def frame(f, is_idr, num_active=1, mmco=None, reorder=None,
+              override=None):
+        cfg = SliceConfig(
+            slice_type="I" if is_idr else "P", idr=is_idr,
+            frame_num=f % 32, sps=sps, pps=pps, slice_qp=qp,
+            pic_init_qp=qp, disable_deblocking_idc=0,
+            adaptive_ref_pic_marking=mmco, reorder_l0=reorder,
+            num_ref_idx_override=override)
+        tracker = IntraModeTracker(width_mbs, height_mbs)
+        mbs = _mixed_mb_list(rng, tracker, list(range(n_mbs)), qp,
+                             is_p=not is_idr, num_active=num_active,
+                             mvd_range=10)
+        out.append(write_slice(cfg, mbs))
+
+    frame(0, True)
+    # P1: set maxLongTermFrameIdx=0 (op4 val=1), mark self long-term idx 0
+    frame(1, False, mmco=[(4, 1), (6, 0)])
+    frame(2, False, num_active=2, override=2)
+    frame(3, False, num_active=2, override=2)
+    # P4: explicitly pick the long-term pic (op 2, long_term_pic_num 0)
+    frame(4, False, num_active=2, override=2, reorder=[(2, 0)])
+    # P5: remove the long-term ref with MMCO2
+    frame(5, False, num_active=2, override=2, mmco=[(2, 0)])
+    frame(6, False, num_active=2, override=2)
+    return b"".join(out), {}
