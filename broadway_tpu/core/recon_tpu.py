@@ -137,11 +137,18 @@ class TpuFrame:
 
 
 def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
-                        constrained_intra: bool) -> Dict[str, np.ndarray]:
-    """Assemble the packed device tensor bundle for one picture (host)."""
+                        constrained_intra: bool,
+                        band: tuple = None) -> Dict[str, np.ndarray]:
+    """Assemble the packed device tensor bundle for one picture (host).
+
+    band=(row0, n_rows): pack only the given MB-row band with a
+    (w, n_rows) wavefront layout — availability/deblock flags are still
+    computed globally (slice-aligned bands make cross-band flags false),
+    and px/py stay global so MC reads full reference frames. Used by the
+    slice-parallel sharded decode (parallel/slices.py)."""
     n = pic.n_mbs
     w, h = pic.width_mbs, pic.height_mbs
-    lay = get_layout(w, h)
+    lay = get_layout(w, h) if band is None else get_layout(w, band[1])
     cls = pic.mb_class
     sid = pic.slice_id
     dec = pic.decoded
@@ -206,7 +213,14 @@ def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
 
     ref_blk = np.repeat(np.repeat(pic.ref_slot, 2, axis=1), 2, axis=2)
 
-    P = lay.pack
+    if band is None:
+        P = lay.pack
+    else:
+        r0, nr = band
+        sel = slice(r0 * w, (r0 + nr) * w)
+
+        def P(a, fill=0):
+            return lay.pack(np.ascontiguousarray(a[sel]), fill)
     return {
         "mb_class": P(cls.astype(np.int32)),
         "qp": P(pic.qp.astype(np.int32)),
@@ -266,7 +280,8 @@ def _roll(x: jnp.ndarray, sh) -> jnp.ndarray:
 def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                         ref_y: jnp.ndarray, ref_cb: jnp.ndarray,
                         ref_cr: jnp.ndarray, steps: Dict[str, jnp.ndarray],
-                        w_mbs: int, h_mbs: int, chroma_qp_offset: int):
+                        w_mbs: int, h_mbs: int, chroma_qp_offset: int,
+                        run_stages: int = 3):
     lay = get_layout(w_mbs, h_mbs)
     S, LS = lay.S, lay.LS
     N = S * LS
@@ -354,6 +369,10 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
 
     cls = arrs["mb_class"]
     steps_x = {k: jnp.asarray(v) for k, v in steps.items()}
+
+    if run_stages <= 1:   # profiling: base assembly only
+        return (_unpack_to_plane(Y, lay, 16), _unpack_to_plane(CB, lay, 8),
+                _unpack_to_plane(CR, lay, 8))
 
     # ---- stage 4: intra wavefront -------------------------------------
     def intra_step(carry, xs):
@@ -448,6 +467,10 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
         return (Y, CB, CR), None
 
     (Y, CB, CR), _ = jax.lax.scan(intra_step, (Y, CB, CR), steps_x)
+
+    if run_stages <= 2:   # profiling: skip deblock
+        return (_unpack_to_plane(Y, lay, 16), _unpack_to_plane(CB, lay, 8),
+                _unpack_to_plane(CR, lay, 8))
 
     # ---- stage 5: deblock wavefront -----------------------------------
     tc4 = arrs["total_coeff"]          # [S,LS,4,4] raster
@@ -681,5 +704,5 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
 
 
 decode_picture = functools.partial(
-    jax.jit, static_argnames=("w_mbs", "h_mbs", "chroma_qp_offset"))(
-        decode_picture_impl)
+    jax.jit, static_argnames=("w_mbs", "h_mbs", "chroma_qp_offset",
+                              "run_stages"))(decode_picture_impl)

@@ -851,3 +851,33 @@ def long_term_stream(width_mbs=3, height_mbs=3, seed=611, qp=28):
     frame(5, False, num_active=2, override=2, mmco=[(2, 0)])
     frame(6, False, num_active=2, override=2)
     return b"".join(out), {}
+
+
+def banded_stream(width_mbs=4, height_mbs=4, n_bands=2, n_frames=4,
+                  seed=701, qp=28, deblock_idc=2):
+    """Slices aligned to equal MB-row bands (for slice-parallel sharded
+    decode): each band is an independent slice per picture; idc=2 keeps
+    deblocking within slices."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2,
+                    num_ref_frames=1)
+    pps = PpsConfig(pic_init_qp=qp)
+    out = [write_sps(sps), write_pps(pps)]
+    hb = height_mbs // n_bands
+    for f in range(n_frames):
+        is_idr = f == 0
+        for b in range(n_bands):
+            first = b * hb * width_mbs
+            addrs = list(range(first, first + hb * width_mbs))
+            tracker = IntraModeTracker(width_mbs, height_mbs)
+            cfg = SliceConfig(
+                slice_type="I" if is_idr else "P",
+                first_mb=first, idr=is_idr, frame_num=f % 32,
+                sps=sps, pps=pps, slice_qp=qp, pic_init_qp=qp,
+                disable_deblocking_idc=deblock_idc)
+            mbs = _mixed_mb_list(rng, tracker, addrs, qp,
+                                 is_p=not is_idr, mvd_range=30)
+            out.append(write_slice(cfg, mbs))
+    info = {"width": width_mbs * 16, "height": height_mbs * 16,
+            "n_frames": n_frames}
+    return b"".join(out), info
