@@ -63,7 +63,13 @@ class Decoder:
     plugs in via `backend`)."""
 
     def __init__(self, no_reordering: bool = False,
-                 backend: str = "cpu") -> None:
+                 backend: str = "cpu", frontend: str = "auto") -> None:
+        # frontend: "auto" (native C++ if built), "native", "python"
+        import os as _os
+        env_fe = _os.environ.get("BW_FRONTEND")
+        if env_fe:
+            frontend = env_fe
+        self.frontend = frontend
         self.sps_store: Dict[int, Sps] = {}
         self.pps_store: Dict[int, Pps] = {}
         self.active_sps_id: Optional[int] = None
@@ -207,6 +213,7 @@ class Decoder:
 
     # ------------------------------------------------------------------
     def _decode_slice_nal(self, nal: NalUnit) -> None:
+        nal_rbsp = nal.rbsp
         r = BitReader(nal.rbsp)
         new_au = self._check_au_boundary(nal, r)
         if new_au and self.pic is not None:
@@ -251,8 +258,21 @@ class Decoder:
         self.slice_count += 1
         self.last_header = header
         try:
-            decode_slice_data(r, self.pic, self.parser, header, self.sps,
-                              self.pps, sg_map, slice_id, ref_slots)
+            use_native = self.frontend != "python"
+            if use_native:
+                from ..bitstream import native as nat
+                if self.frontend == "auto" and not nat.available():
+                    use_native = False
+            if use_native:
+                from ..bitstream.native import decode_slice_data_native
+                decode_slice_data_native(nal_rbsp, r.pos, self.pic,
+                                         self.parser, header, self.sps,
+                                         self.pps, sg_map, slice_id,
+                                         ref_slots)
+            else:
+                decode_slice_data(r, self.pic, self.parser, header,
+                                  self.sps, self.pps, sg_map, slice_id,
+                                  ref_slots)
         except SliceDataError as e:
             # corrupt slice: un-decode its MBs; concealment happens when
             # the picture boundary is detected (h264bsd_decoder.c:236-276)

@@ -321,6 +321,10 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
     res_cr_mb = cres[:, 1].transpose(0, 1, 3, 2, 4).reshape(N, 8, 8)
 
     # ---- stage 2: inter MC --------------------------------------------
+    if run_stages == 0:
+        z16 = jnp.zeros((N, 16, 16), jnp.int32)
+        z8 = jnp.zeros((N, 8, 8), jnp.int32)
+        pred_y, pred_cb, pred_cr = z16, z8, z8
     mv = flat(arrs["mv"])                                # [N,4,4,2]
     ref_blk = jnp.maximum(flat(arrs["ref_blk"]), 0)
     pxv = flat(arrs["px"])
@@ -334,17 +338,23 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
     mvx = mv[..., 0].reshape(-1)
     mvy = mv[..., 1].reshape(-1)
     ridx = ref_blk.reshape(-1)
-    pred_y = K_mc.mc_luma_blocks(ref_y, ridx, bpx, bpy, mvx, mvy)
-    pred_y = pred_y.reshape(N, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
-        .reshape(N, 16, 16)
-    cpx = jnp.broadcast_to((pxv // 2)[:, None, None] + bx * 2,
-                           (N, 4, 4)).reshape(-1)
-    cpy = jnp.broadcast_to((pyv // 2)[:, None, None] + by * 2,
-                           (N, 4, 4)).reshape(-1)
-    pred_cb = K_mc.mc_chroma_blocks(ref_cb, ridx, cpx, cpy, mvx, mvy) \
-        .reshape(N, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(N, 8, 8)
-    pred_cr = K_mc.mc_chroma_blocks(ref_cr, ridx, cpx, cpy, mvx, mvy) \
-        .reshape(N, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4).reshape(N, 8, 8)
+    if run_stages == 0:
+        pass
+    else:
+        pred_y = K_mc.mc_luma_blocks(ref_y, ridx, bpx, bpy, mvx, mvy)
+        pred_y = pred_y.reshape(N, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+            .reshape(N, 16, 16)
+    if run_stages != 0:
+        cpx = jnp.broadcast_to((pxv // 2)[:, None, None] + bx * 2,
+                               (N, 4, 4)).reshape(-1)
+        cpy = jnp.broadcast_to((pyv // 2)[:, None, None] + by * 2,
+                               (N, 4, 4)).reshape(-1)
+        pred_cb = K_mc.mc_chroma_blocks(ref_cb, ridx, cpx, cpy, mvx, mvy) \
+            .reshape(N, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
+            .reshape(N, 8, 8)
+        pred_cr = K_mc.mc_chroma_blocks(ref_cr, ridx, cpx, cpy, mvx, mvy) \
+            .reshape(N, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
+            .reshape(N, 8, 8)
 
     # ---- stage 3: base assembly ---------------------------------------
     pcm = flat(arrs["ipcm"]).astype(jnp.int32)
@@ -370,7 +380,7 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
     cls = arrs["mb_class"]
     steps_x = {k: jnp.asarray(v) for k, v in steps.items()}
 
-    if run_stages <= 1:   # profiling: base assembly only
+    if run_stages <= 1:   # profiling: base assembly only (0: no MC)
         return (_unpack_to_plane(Y, lay, 16), _unpack_to_plane(CB, lay, 8),
                 _unpack_to_plane(CR, lay, 8))
 
