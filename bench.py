@@ -36,9 +36,10 @@ def main():
 
     from bench_common import bench_stream, parse_pictures
     from broadway_tpu.core import recon_tpu as RT
-    from broadway_tpu.ops.tpu.inter import PAD
+    from broadway_tpu.ops.tpu import mc_pallas as K_mcp
     from broadway_tpu.parallel.streams import decode_pictures_batch
 
+    mc = RT.default_mc_backend()
     data = bench_stream(W_MBS, H_MBS, n_frames=3)
     pics = parse_pictures(data, max_pics=2)
     arrs, w, h, cqo, n_slots = pics[-1]  # a P picture
@@ -46,22 +47,21 @@ def main():
     steps = {k: jnp.asarray(v) for k, v in RT.step_tables(w, h).items()}
 
     H, W = h * 16, w * 16
-    Hp, Wp = H + 2 * PAD, W + 2 * PAD
+    hy, wy = K_mcp.luma_ext_dims(W, H)
+    hc, wc = K_mcp.chroma_ext_dims(W, H)
     rng = np.random.RandomState(0)
-    ref_y = jnp.asarray(rng.randint(0, 256, (n_slots, Hp, Wp)), jnp.int32)
-    ref_cb = jnp.asarray(
-        rng.randint(0, 256, (n_slots, H // 2 + 2 * PAD, W // 2 + 2 * PAD)),
-        jnp.int32)
-    ref_cr = ref_cb
+    ref_y = jnp.asarray(rng.randint(0, 256, (n_slots, hy, wy)), jnp.int32)
+    ref_c = jnp.asarray(rng.randint(0, 256, (n_slots, hc, wc)), jnp.int32)
 
     # --- single stream steady state ---
-    out = RT.decode_picture(arrs, ref_y, ref_cb, ref_cr, steps,
-                            w_mbs=w, h_mbs=h, chroma_qp_offset=cqo)
+    out = RT.decode_picture(arrs, ref_y, ref_c, steps,
+                            w_mbs=w, h_mbs=h, chroma_qp_offset=cqo, mc=mc)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(REPS):
-        out = RT.decode_picture(arrs, ref_y, ref_cb, ref_cr, steps,
-                                w_mbs=w, h_mbs=h, chroma_qp_offset=cqo)
+        out = RT.decode_picture(arrs, ref_y, ref_c, steps,
+                                w_mbs=w, h_mbs=h, chroma_qp_offset=cqo,
+                                mc=mc)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / REPS
     fps_single = 1.0 / dt
@@ -72,15 +72,16 @@ def main():
         barrs = {k: jnp.broadcast_to(v[None], (BATCH,) + v.shape)
                  for k, v in arrs.items()}
         bref_y = jnp.broadcast_to(ref_y[None], (BATCH,) + ref_y.shape)
-        bref_cb = jnp.broadcast_to(ref_cb[None], (BATCH,) + ref_cb.shape)
-        out = decode_pictures_batch(barrs, bref_y, bref_cb, bref_cb, steps,
-                                    w_mbs=w, h_mbs=h, chroma_qp_offset=cqo)
+        bref_c = jnp.broadcast_to(ref_c[None], (BATCH,) + ref_c.shape)
+        out = decode_pictures_batch(barrs, bref_y, bref_c, steps,
+                                    w_mbs=w, h_mbs=h, chroma_qp_offset=cqo,
+                                    mc=mc)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
         for _ in range(max(REPS // 4, 2)):
-            out = decode_pictures_batch(barrs, bref_y, bref_cb, bref_cb,
+            out = decode_pictures_batch(barrs, bref_y, bref_c,
                                         steps, w_mbs=w, h_mbs=h,
-                                        chroma_qp_offset=cqo)
+                                        chroma_qp_offset=cqo, mc=mc)
         jax.block_until_ready(out)
         dt = (time.perf_counter() - t0) / max(REPS // 4, 2)
         fps_batch = BATCH / dt

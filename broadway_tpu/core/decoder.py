@@ -399,31 +399,13 @@ class Decoder:
                                       pps.constrained_intra_pred)
         arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
 
-        from ..ops.tpu.inter import PAD
-        Hp, Wp = sps.height + 2 * PAD, sps.width + 2 * PAD
-        R = len(self.dpb.buffer)
-        zero_y = jnp.zeros((Hp, Wp), jnp.int32)
-        zero_c = jnp.zeros((Hp // 2 + PAD, Wp // 2 + PAD), jnp.int32)
-        ys, cbs, crs = [], [], []
-        for p in self.dpb.buffer:
-            f = p.frame
-            if f is None:
-                ys.append(zero_y)
-                cbs.append(jnp.zeros((sps.height // 2 + 2 * PAD,
-                                      sps.width // 2 + 2 * PAD), jnp.int32))
-                crs.append(cbs[-1])
-            else:
-                ys.append(f.y_pad)
-                cbs.append(f.cb_pad)
-                crs.append(f.cr_pad)
-        ref_y = jnp.stack(ys)
-        ref_cb = jnp.stack(cbs)
-        ref_cr = jnp.stack(crs)
-
+        ref_y, ref_c = RT.ref_stacks(self.dpb.buffer, sps.width,
+                                     sps.height)
         y, cb, cr = RT.decode_picture(
-            arrs, ref_y, ref_cb, ref_cr, self._steps,
+            arrs, ref_y, ref_c, self._steps,
             w_mbs=w, h_mbs=h,
-            chroma_qp_offset=pps.chroma_qp_index_offset)
+            chroma_qp_offset=pps.chroma_qp_index_offset,
+            mc=RT.default_mc_backend())
         return RT.TpuFrame(y, cb, cr)
 
     def _drain(self) -> None:

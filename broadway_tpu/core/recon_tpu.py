@@ -2,19 +2,24 @@
 pipeline (compiled once per (resolution, dpb-size); SPS change retraces).
 
 TPU-first dataflow (SURVEY.md §7 Stage B):
-  - Every per-MB tensor is packed into a DIAGONAL-MAJOR grid
-    [n_steps, lanes]: step d holds the MBs of wavefront anti-diagonal
-    x + 2*y == d, lane = y - ymin(d) + LP. Neighbour MBs (A,B,C,D) of a
-    whole diagonal live at fixed lane shifts in rows d-1/d-2/d-3, so the
-    sequential wavefront stages (intra prediction, deblocking) need only
-    row dynamic-slices and lane rolls — no scatter/gather inside lax.scan.
-  - stage 1: residual dequant+IDCT, data-parallel over all packed blocks
-  - stage 2: quarter-pel MC, batched over all 4x4 blocks
-  - stage 3: base assembly (inter + I_PCM) in packed block space
+  - stages 1-3 run data-parallel in raster MB space [nMB, ...]:
+    residual dequant+IDCT, quarter-pel MC (Pallas kernel ops/tpu/
+    mc_pallas on TPU, XLA gather fallback elsewhere), base assembly
+    (inter + I_PCM).
+  - the per-MB tensors are then packed ON DEVICE (one row-gather) into a
+    DIAGONAL-MAJOR grid [n_steps, lanes]: step d holds the MBs of
+    wavefront anti-diagonal x + 2*y == d, lane = y - ymin(d) + LP.
+    Neighbour MBs (A,B,C,D) of a whole diagonal live at fixed lane
+    shifts in rows d-1/d-2/d-3, so the sequential wavefront stages need
+    only row dynamic-slices and lane rolls inside lax.scan.
   - stage 4: intra wavefront scan (table-driven predictors, ops/tpu/intra)
   - stage 5: deblock wavefront scan (bS/thresholds computed in-scan from
     packed tensors, edge filters from ops/tpu/deblock)
   - unpack once at the end to raster planes.
+
+Reference frames are held device-resident in the MC kernel's plane
+format: edge-replicated + DMA-extended luma, lane-interleaved chroma
+(ops/tpu/mc_pallas.pad_luma / pad_chroma).
 
 Bit-exactness oracle: core/recon_cpu.py + core/deblock_impl.py (NumPy),
 themselves validated against the reference C decoder.
@@ -32,8 +37,8 @@ import jax.numpy as jnp
 from ..bitstream.mb_layer import (MB_I4x4, MB_I16x16, MB_IPCM, MB_P,
                                   PictureData)
 from ..ops.tpu import deblock as K_db
-from ..ops.tpu import inter as K_mc
 from ..ops.tpu import intra as K_in
+from ..ops.tpu import mc_pallas as K_mcp
 from ..ops.tpu import residual as K_res
 
 LP = 2   # lane padding on each side of a diagonal row
@@ -100,12 +105,25 @@ class WavefrontLayout:
         self.shC = np.array([sh(d, 1, -1) for d in range(self.S)], np.int32)
         self.shB = np.array([sh(d, 2, -1) for d in range(self.S)], np.int32)
         self.shD = np.array([sh(d, 3, -1) for d in range(self.S)], np.int32)
+        # device-side pack map: packed slot -> mb addr (n = dummy row)
+        n = w_mbs * h_mbs
+        slot_addr = np.full(self.S * self.LS, n, np.int64)
+        slot_addr[self.slot_row.astype(np.int64) * self.LS
+                  + self.slot_lane] = np.arange(n)
+        self.slot_addr = slot_addr.astype(np.int32)
 
     def pack(self, arr: np.ndarray, fill=0) -> np.ndarray:
-        """[n, ...] addr-order -> [S, LS, ...] packed."""
+        """[n, ...] addr-order -> [S, LS, ...] packed (host/NumPy)."""
         out = np.full((self.S, self.LS) + arr.shape[1:], fill, arr.dtype)
         out[self.slot_row, self.slot_lane] = arr
         return out
+
+    def pack_dev(self, a: jnp.ndarray) -> jnp.ndarray:
+        """[n, ...] -> [S, LS, ...] on device (row-gather, zero fill)."""
+        fill = jnp.zeros((1,) + a.shape[1:], a.dtype)
+        flat = jnp.take(jnp.concatenate([a, fill], axis=0),
+                        jnp.asarray(self.slot_addr), axis=0)
+        return flat.reshape((self.S, self.LS) + a.shape[1:])
 
 
 _LAYOUTS: Dict[tuple, WavefrontLayout] = {}
@@ -119,16 +137,16 @@ def get_layout(w_mbs: int, h_mbs: int) -> WavefrontLayout:
 
 
 class TpuFrame:
-    """Device-resident decoded picture (int32 planes + padded MC copies)."""
+    """Device-resident decoded picture: int32 planes + the MC kernel's
+    reference-plane copies (extended padded luma, interleaved chroma)."""
 
-    __slots__ = ("y", "cb", "cr", "y_pad", "cb_pad", "cr_pad")
+    __slots__ = ("y", "cb", "cr", "y_pad", "c_pad")
 
     def __init__(self, y, cb, cr, pad=True):
         self.y, self.cb, self.cr = y, cb, cr
         if pad:
-            self.y_pad = K_mc.pad_plane(y)
-            self.cb_pad = K_mc.pad_plane(cb)
-            self.cr_pad = K_mc.pad_plane(cr)
+            self.y_pad = K_mcp.pad_luma(y)
+            self.c_pad = K_mcp.pad_chroma(cb, cr)
 
     def tobytes(self) -> bytes:
         return (np.asarray(self.y).astype(np.uint8).tobytes() +
@@ -139,16 +157,16 @@ class TpuFrame:
 def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
                         constrained_intra: bool,
                         band: tuple = None) -> Dict[str, np.ndarray]:
-    """Assemble the packed device tensor bundle for one picture (host).
+    """Assemble the raster per-MB tensor bundle for one picture (host).
+    Packing into the wavefront layout happens on device (pack_dev).
 
-    band=(row0, n_rows): pack only the given MB-row band with a
-    (w, n_rows) wavefront layout — availability/deblock flags are still
-    computed globally (slice-aligned bands make cross-band flags false),
-    and px/py stay global so MC reads full reference frames. Used by the
+    band=(row0, n_rows): emit only the given MB-row band —
+    availability/deblock flags are still computed globally
+    (slice-aligned bands make cross-band flags false), and MC window
+    origins stay global so MC reads full reference frames. Used by the
     slice-parallel sharded decode (parallel/slices.py)."""
     n = pic.n_mbs
     w, h = pic.width_mbs, pic.height_mbs
-    lay = get_layout(w, h) if band is None else get_layout(w, band[1])
     cls = pic.mb_class
     sid = pic.slice_id
     dec = pic.decoded
@@ -207,21 +225,20 @@ def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
     FT = enable & db_nb(-1, 0)
     FL = enable & db_nb(0, -1)
 
-    mb_ids = np.arange(n)
-    px = (mb_ids % w).astype(np.int32) * 16
-    py = (mb_ids // w).astype(np.int32) * 16
-
     ref_blk = np.repeat(np.repeat(pic.ref_slot, 2, axis=1), 2, axis=2)
 
     if band is None:
-        P = lay.pack
+        P = lambda a: np.ascontiguousarray(a)
+        mb0 = 0
     else:
         r0, nr = band
         sel = slice(r0 * w, (r0 + nr) * w)
+        P = lambda a: np.ascontiguousarray(a[sel])
+        mb0 = r0 * w
 
-        def P(a, fill=0):
-            return lay.pack(np.ascontiguousarray(a[sel]), fill)
-    return {
+    mv_b = P(pic.mv.astype(np.int32))
+    ref_b = P(ref_blk.astype(np.int32))
+    out = {
         "mb_class": P(cls.astype(np.int32)),
         "qp": P(pic.qp.astype(np.int32)),
         "cbp": P(pic.cbp.astype(np.int32)),
@@ -235,10 +252,9 @@ def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
         "chroma_ac": P(pic.chroma_ac.reshape(n, 2, 2, 2, 16)
                        .astype(np.int32)),
         "total_coeff": P(pic.total_coeff.astype(np.int32)),
-        "mv": P(pic.mv.astype(np.int32)),
-        "ref_blk": P(ref_blk.astype(np.int32)),
+        "mv": mv_b,
+        "ref_blk": ref_b,
         "ipcm": P(pic.ipcm),
-        "px": P(px), "py": P(py),
         "av_a": P(av_a), "av_b": P(av_b), "av_c": P(av_c), "av_d": P(av_d),
         "offA": P(offA), "offB": P(offB), "chroma_off_mb": P(coff),
         "FT": P(FT), "FL": P(FL), "enable": P(enable),
@@ -249,6 +265,32 @@ def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
         "whole_conceal": np.array(
             getattr(pic, "whole_pic_concealed", False)),
     }
+    # MC side tables (Pallas kernel); positions are global (mb0 offset)
+    out.update(mc_host_tables(mv_b, ref_b, w, h, mb0))
+    return out
+
+
+def mc_host_tables(mv_b: np.ndarray, ref_b: np.ndarray, w_mbs: int,
+                   h_mbs: int, mb0: int = 0) -> Dict[str, np.ndarray]:
+    """Pallas-MC scalar/vector tables for a (band of a) picture, with
+    MB positions offset by mb0 (global raster index of the first MB)."""
+    nb = mv_b.shape[0]
+    if mb0 == 0 and nb == w_mbs * h_mbs:
+        t = K_mcp.mc_tables(mv_b, ref_b, w_mbs * 16, h_mbs * 16)
+    else:
+        # build for the full grid positions of this band
+        full_mv = np.zeros((w_mbs * h_mbs, 4, 4, 2), np.int32)
+        full_ref = np.zeros((w_mbs * h_mbs, 4, 4), np.int32)
+        full_mv[mb0:mb0 + nb] = mv_b
+        full_ref[mb0:mb0 + nb] = ref_b
+        t = K_mcp.mc_tables(full_mv, full_ref, w_mbs * 16, h_mbs * 16)
+        t = {"scal0": t["scal0"][mb0:mb0 + nb],
+             "scal1": t["scal1"][mb0:mb0 + nb],
+             "scal2": t["scal2"][mb0:mb0 + nb],
+             "blkdata": t["blkdata"].reshape(-1, 1024)[mb0:mb0 + nb]
+             .reshape(-1),
+             "blkvec": t["blkvec"][mb0:mb0 + nb]}
+    return {"mc_" + k: v for k, v in t.items()}
 
 
 def step_tables(w_mbs: int, h_mbs: int) -> Dict[str, np.ndarray]:
@@ -277,24 +319,62 @@ def _roll(x: jnp.ndarray, sh) -> jnp.ndarray:
     return jnp.roll(x, -sh, axis=0)
 
 
+def mc_predict_xla(ref_y, ref_c, mv, ref_blk, w_mbs, h_mbs, mb0=0):
+    # h_mbs here must be the FULL picture height (clip bounds + positions
+    # are plane-global even when decoding an MB-row band)
+    """XLA-gather MC fallback (CPU tests / non-TPU backends); same
+    output layout as the Pallas kernel: pred_y [n,16,16],
+    pred_c [n,8,16] interleaved."""
+    from ..ops.tpu import inter as K_mc
+    n = mv.shape[0]
+    W, H = w_mbs * 16, h_mbs * 16
+    hp0, wp0 = H + 2 * K_mcp.PAD, W + 2 * K_mcp.PAD
+    hc0, wc0 = H // 2 + 2 * K_mcp.PAD, W // 2 + 2 * K_mcp.PAD
+
+    mb = mb0 + jnp.arange(n)
+    pxv = (mb % w_mbs).astype(jnp.int32) * 16
+    pyv = (mb // w_mbs).astype(jnp.int32) * 16
+    bx = jnp.arange(4)[None, None, :]
+    by = jnp.arange(4)[None, :, None]
+    bpx = jnp.broadcast_to(pxv[:, None, None] + bx * 4, (n, 4, 4)) \
+        .reshape(-1)
+    bpy = jnp.broadcast_to(pyv[:, None, None] + by * 4, (n, 4, 4)) \
+        .reshape(-1)
+    mvx = mv[..., 0].reshape(-1)
+    mvy = mv[..., 1].reshape(-1)
+    ridx = jnp.maximum(ref_blk, 0).reshape(-1)
+
+    pred_y = K_mc.mc_luma_blocks(ref_y, ridx, bpx, bpy, mvx, mvy,
+                                 hp0=hp0, wp0=wp0)
+    pred_y = pred_y.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 16, 16)
+    cpx = jnp.broadcast_to((pxv // 2)[:, None, None] + bx * 2,
+                           (n, 4, 4)).reshape(-1)
+    cpy = jnp.broadcast_to((pyv // 2)[:, None, None] + by * 2,
+                           (n, 4, 4)).reshape(-1)
+    pred_c = K_mc.mc_chroma_blocks_il(ref_c, ridx, cpx, cpy, mvx, mvy,
+                                      hc0=hc0, wc0=wc0)   # [n*16, 2, 4]
+    pred_c = pred_c.reshape(n, 4, 4, 2, 4).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 8, 16)
+    return pred_y, pred_c
+
+
 def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
-                        ref_y: jnp.ndarray, ref_cb: jnp.ndarray,
-                        ref_cr: jnp.ndarray, steps: Dict[str, jnp.ndarray],
+                        ref_y: jnp.ndarray, ref_c: jnp.ndarray,
+                        steps: Dict[str, jnp.ndarray],
                         w_mbs: int, h_mbs: int, chroma_qp_offset: int,
-                        run_stages: int = 3):
+                        run_stages: int = 3, mc: str = "pallas",
+                        mb0: int = 0, ref_h_mbs: int = None):
     lay = get_layout(w_mbs, h_mbs)
     S, LS = lay.S, lay.LS
-    N = S * LS
+    N = arrs["qp"].shape[0]          # raster MB count (band or full)
 
-    def flat(a):
-        return a.reshape((N,) + a.shape[2:])
-
-    # ---- stage 1: residuals (packed block space) ----------------------
-    qp = flat(arrs["qp"])
-    cbp = flat(arrs["cbp"])
-    is_i16 = flat(arrs["is_i16"])
-    dc = K_res.luma_dc_transform(flat(arrs["luma_dc"]), qp)      # [N,4,4]
-    coeffs = flat(arrs["luma_coeffs"])                           # [N,4,4,16]
+    # ---- stage 1: residuals (raster MB space) -------------------------
+    qp = arrs["qp"]
+    cbp = arrs["cbp"]
+    is_i16 = arrs["is_i16"]
+    dc = K_res.luma_dc_transform(arrs["luma_dc"], qp)            # [N,4,4]
+    coeffs = arrs["luma_coeffs"]                                 # [N,4,4,16]
     qp_b = jnp.broadcast_to(qp[:, None, None], (N, 4, 4))
     res_full = K_res.dequant_idct(coeffs, qp_b)
     res_i16 = K_res.dequant_idct(coeffs, qp_b, dc=dc.reshape(N, 16)
@@ -306,12 +386,12 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
     res_y_mb = res.transpose(0, 1, 3, 2, 4).reshape(N, 16, 16)
 
     qpc = K_res.QP_C_J[jnp.clip(qp + chroma_qp_offset, 0, 51)]
-    cdc = K_res.chroma_dc_transform(flat(arrs["chroma_dc"]), qpc[:, None])
+    cdc = K_res.chroma_dc_transform(arrs["chroma_dc"], qpc[:, None])
     cbp_c = cbp >> 4
     cdc = jnp.where((cbp_c > 0)[:, None, None, None],
                     cdc.reshape(N, 2, 2, 2), 0)
     qpc_b = jnp.broadcast_to(qpc[:, None, None, None], (N, 2, 2, 2))
-    cac = flat(arrs["chroma_ac"])
+    cac = arrs["chroma_ac"]
     cres_ac = K_res.dequant_idct(cac, qpc_b, dc=cdc)
     cres_dc = K_res.dequant_idct(jnp.zeros_like(cac), qpc_b, dc=cdc)
     has_ac = (cbp_c == 2)[:, None, None, None, None, None]
@@ -322,44 +402,27 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
 
     # ---- stage 2: inter MC --------------------------------------------
     if run_stages == 0:
-        z16 = jnp.zeros((N, 16, 16), jnp.int32)
-        z8 = jnp.zeros((N, 8, 8), jnp.int32)
-        pred_y, pred_cb, pred_cr = z16, z8, z8
-    mv = flat(arrs["mv"])                                # [N,4,4,2]
-    ref_blk = jnp.maximum(flat(arrs["ref_blk"]), 0)
-    pxv = flat(arrs["px"])
-    pyv = flat(arrs["py"])
-    bx = jnp.arange(4)[None, None, :]
-    by = jnp.arange(4)[None, :, None]
-    bpx = jnp.broadcast_to(pxv[:, None, None] + bx * 4, (N, 4, 4)) \
-        .reshape(-1)
-    bpy = jnp.broadcast_to(pyv[:, None, None] + by * 4, (N, 4, 4)) \
-        .reshape(-1)
-    mvx = mv[..., 0].reshape(-1)
-    mvy = mv[..., 1].reshape(-1)
-    ridx = ref_blk.reshape(-1)
-    if run_stages == 0:
-        pass
+        pred_y = jnp.zeros((N, 16, 16), jnp.int32)
+        pred_c = jnp.zeros((N, 8, 16), jnp.int32)
+    elif mc == "precomputed":      # batched path: MC ran pre-vmap
+        pred_y = arrs["mc_pred_y"]
+        pred_c = arrs["mc_pred_c"]
+    elif mc == "pallas":
+        tabs = {k[3:]: arrs[k] for k in
+                ("mc_scal0", "mc_scal1", "mc_scal2", "mc_blkdata",
+                 "mc_blkvec")}
+        pred_y, pred_c = K_mcp.mc_predict(ref_y, ref_c, tabs)
     else:
-        pred_y = K_mc.mc_luma_blocks(ref_y, ridx, bpx, bpy, mvx, mvy)
-        pred_y = pred_y.reshape(N, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4) \
-            .reshape(N, 16, 16)
-    if run_stages != 0:
-        cpx = jnp.broadcast_to((pxv // 2)[:, None, None] + bx * 2,
-                               (N, 4, 4)).reshape(-1)
-        cpy = jnp.broadcast_to((pyv // 2)[:, None, None] + by * 2,
-                               (N, 4, 4)).reshape(-1)
-        pred_cb = K_mc.mc_chroma_blocks(ref_cb, ridx, cpx, cpy, mvx, mvy) \
-            .reshape(N, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
-            .reshape(N, 8, 8)
-        pred_cr = K_mc.mc_chroma_blocks(ref_cr, ridx, cpx, cpy, mvx, mvy) \
-            .reshape(N, 4, 4, 2, 2).transpose(0, 1, 3, 2, 4) \
-            .reshape(N, 8, 8)
+        pred_y, pred_c = mc_predict_xla(ref_y, ref_c, arrs["mv"],
+                                        arrs["ref_blk"], w_mbs,
+                                        ref_h_mbs or h_mbs, mb0=mb0)
+    pred_cb = pred_c[:, :, 0::2]
+    pred_cr = pred_c[:, :, 1::2]
 
     # ---- stage 3: base assembly ---------------------------------------
-    pcm = flat(arrs["ipcm"]).astype(jnp.int32)
-    is_p = flat(arrs["is_inter"])[:, None, None]
-    is_pcm = flat(arrs["is_pcm"])[:, None, None]
+    pcm = arrs["ipcm"].astype(jnp.int32)
+    is_p = arrs["is_inter"][:, None, None]
+    is_pcm = arrs["is_pcm"][:, None, None]
     base_y = jnp.where(is_pcm, pcm[:, :256].reshape(N, 16, 16),
                        jnp.where(is_p, jnp.clip(pred_y + res_y_mb, 0, 255),
                                  0))
@@ -370,12 +433,20 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                         jnp.where(is_p,
                                   jnp.clip(pred_cr + res_cr_mb, 0, 255), 0))
 
-    Y = base_y.reshape(S, LS, 16, 16)
-    CB = base_cb.reshape(S, LS, 8, 8)
-    CR = base_cr.reshape(S, LS, 8, 8)
-    resY = res_y_mb.reshape(S, LS, 16, 16)
-    resCB = res_cb_mb.reshape(S, LS, 8, 8)
-    resCR = res_cr_mb.reshape(S, LS, 8, 8)
+    # ---- device-side pack into the wavefront layout -------------------
+    pk = lay.pack_dev
+    Y = pk(base_y)
+    CB = pk(base_cb)
+    CR = pk(base_cr)
+    resY = pk(res_y_mb)
+    resCB = pk(res_cb_mb)
+    resCR = pk(res_cr_mb)
+    arrs = {k: pk(arrs[k]) for k in
+            ("mb_class", "i4_modes", "i16_mode", "chroma_mode",
+             "av_a", "av_b", "av_c", "av_d", "total_coeff", "mv",
+             "ref_blk", "is_inter", "FT", "FL", "enable", "qp",
+             "offA", "offB", "chroma_off_mb")} | {
+                 "whole_conceal": arrs["whole_conceal"]}
 
     cls = arrs["mb_class"]
     steps_x = {k: jnp.asarray(v) for k, v in steps.items()}
@@ -713,6 +784,31 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
     return out_y, out_cb, out_cr
 
 
+def default_mc_backend(device=None) -> str:
+    """Pallas MC on real TPUs, XLA gather elsewhere (CPU test meshes).
+    Pass the device (or any device of the mesh) the pipeline will run
+    on; defaults to the process default device."""
+    if device is None:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return "pallas" if device.platform == "tpu" else "xla"
+
+
 decode_picture = functools.partial(
     jax.jit, static_argnames=("w_mbs", "h_mbs", "chroma_qp_offset",
-                              "run_stages"))(decode_picture_impl)
+                              "run_stages", "mc", "mb0", "ref_h_mbs"))(
+                                  decode_picture_impl)
+
+
+def ref_stacks(dpb_buffer, width: int, height: int):
+    """Build device ref-plane stacks [R,...] from a DPB buffer of
+    TpuFrames (None slots -> zero planes) in the MC kernel format."""
+    hy, wy = K_mcp.luma_ext_dims(width, height)
+    hc, wc = K_mcp.chroma_ext_dims(width, height)
+    zero_y = jnp.zeros((hy, wy), jnp.int32)
+    zero_c = jnp.zeros((hc, wc), jnp.int32)
+    ys, cs = [], []
+    for p in dpb_buffer:
+        f = p.frame
+        ys.append(f.y_pad if f is not None else zero_y)
+        cs.append(f.c_pad if f is not None else zero_c)
+    return jnp.stack(ys), jnp.stack(cs)

@@ -41,14 +41,17 @@ def band_host_arrays(pic: PictureData, n_bands: int, chroma_qp_offset: int,
     return {k: np.stack([p[k] for p in per]) for k in per[0]}
 
 
-def decode_picture_sliced_impl(barrs, ref_y, ref_cb, ref_cr, steps,
+def decode_picture_sliced_impl(barrs, ref_y, ref_c, steps,
                                w_mbs, hb_mbs, chroma_qp_offset,
-                               axis: str = "sp"):
+                               axis: str = "sp", mc: str = "xla",
+                               h_mbs_full: int = None):
     """shard_map body: decode own band, all-gather to full planes."""
+    band = jax.lax.axis_index(axis)
     y, cb, cr = RT.decode_picture_impl(
         jax.tree_util.tree_map(lambda x: x[0], barrs),
-        ref_y, ref_cb, ref_cr, steps,
-        w_mbs=w_mbs, h_mbs=hb_mbs, chroma_qp_offset=chroma_qp_offset)
+        ref_y, ref_c, steps,
+        w_mbs=w_mbs, h_mbs=hb_mbs, chroma_qp_offset=chroma_qp_offset,
+        mc=mc, mb0=band * hb_mbs * w_mbs, ref_h_mbs=h_mbs_full)
     # the ICI copySlice: every chip receives every band
     fy = jax.lax.all_gather(y, axis)        # [n_bands, Hb, W]
     fcb = jax.lax.all_gather(cb, axis)
@@ -60,7 +63,7 @@ def decode_picture_sliced_impl(barrs, ref_y, ref_cb, ref_cr, steps,
 
 def make_sliced_decoder(mesh: Mesh, w_mbs: int, h_mbs: int, n_bands: int,
                         chroma_qp_offset: int, axis: str = "sp"):
-    """Returns jitted fn(banded_arrs, ref_y, ref_cb, ref_cr, steps) ->
+    """Returns jitted fn(banded_arrs, ref_y, ref_c, steps) ->
     full-frame planes (replicated)."""
     from jax import shard_map
 
@@ -68,10 +71,12 @@ def make_sliced_decoder(mesh: Mesh, w_mbs: int, h_mbs: int, n_bands: int,
 
     fn = functools.partial(decode_picture_sliced_impl, w_mbs=w_mbs,
                            hb_mbs=hb, chroma_qp_offset=chroma_qp_offset,
-                           axis=axis)
+                           axis=axis, h_mbs_full=h_mbs,
+                           mc=RT.default_mc_backend(
+                               mesh.devices.flat[0]))
     sharded = shard_map(
         fn, mesh=mesh,
-        in_specs=(P(axis), P(), P(), P(), P()),
+        in_specs=(P(axis), P(), P(), P()),
         out_specs=(P(), P(), P()), check_vma=False)
     return jax.jit(sharded)
 
@@ -82,10 +87,8 @@ def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
     Returns display-order YUV bytes. Host front-end parses; the pixel
     pipeline runs sharded; DPB frames stay replicated device arrays."""
     import broadway_tpu.core.decoder as DEC
-    from broadway_tpu.ops.tpu.inter import PAD
 
     dec = DEC.Decoder(backend="cpu")  # front-end + DPB bookkeeping
-    results: List[bytes] = []
     decoder_fn = {}
 
     orig_finish = DEC.Decoder._finish_picture
@@ -106,18 +109,9 @@ def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
         barrs = {k: jnp.asarray(v) for k, v in barrs.items()}
         steps = {k: jnp.asarray(v)
                  for k, v in RT.step_tables(w, h // n_bands).items()}
-        Hp, Wp = sps.height + 2 * PAD, sps.width + 2 * PAD
-        ys, cbs, crs = [], [], []
-        zc_y = jnp.zeros((Hp, Wp), jnp.int32)
-        zc_c = jnp.zeros((sps.height // 2 + 2 * PAD,
-                          sps.width // 2 + 2 * PAD), jnp.int32)
-        for p in self.dpb.buffer:
-            f = p.frame
-            ys.append(f.y_pad if f is not None else zc_y)
-            cbs.append(f.cb_pad if f is not None else zc_c)
-            crs.append(f.cr_pad if f is not None else zc_c)
-        y, cb, cr = decoder_fn[key](barrs, jnp.stack(ys), jnp.stack(cbs),
-                                    jnp.stack(crs), steps)
+        ref_y, ref_c = RT.ref_stacks(self.dpb.buffer, sps.width,
+                                     sps.height)
+        y, cb, cr = decoder_fn[key](barrs, ref_y, ref_c, steps)
         frame = RT.TpuFrame(y, cb, cr)
         # reuse the normal DPB/POC finish path with our frame
         return self._finish_with_frame(pic, frame)

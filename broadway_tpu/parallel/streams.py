@@ -17,19 +17,51 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.recon_tpu import decode_picture_impl
+from ..core.recon_tpu import decode_picture_impl, default_mc_backend
 
 
-def _batched_impl(arrs, ref_y, ref_cb, ref_cr, steps, w_mbs, h_mbs,
-                  chroma_qp_offset):
-    f = functools.partial(decode_picture_impl, w_mbs=w_mbs, h_mbs=h_mbs,
-                          chroma_qp_offset=chroma_qp_offset)
-    return jax.vmap(f, in_axes=(0, 0, 0, 0, None))(
-        arrs, ref_y, ref_cb, ref_cr, steps)
+def _batched_impl(arrs, ref_y, ref_c, steps, w_mbs, h_mbs,
+                  chroma_qp_offset, mc="xla"):
+    """Batched decode [B, ...]. The Pallas MC kernel doesn't vmap, so
+    the batch is flattened into the MB axis for stage 2 (ref slot
+    indices get a per-stream offset) and the rest of the pipeline runs
+    under vmap."""
+    B = ref_y.shape[0]
+    R = ref_y.shape[1]
+
+    if mc == "pallas":
+        n = arrs["qp"].shape[1]
+        soff = (jnp.arange(B, dtype=jnp.int32) * R)
+        tabs = {
+            "scal0": (arrs["mc_scal0"] + (soff[:, None] << 2)).reshape(-1),
+            "scal1": arrs["mc_scal1"].reshape(-1),
+            "scal2": arrs["mc_scal2"].reshape(-1),
+            "blkdata": (arrs["mc_blkdata"].reshape(B, -1, 1024)
+                        .at[:, :, 1:32:2].add(soff[:, None, None])
+                        ).reshape(-1),
+            "blkvec": arrs["mc_blkvec"].reshape(-1, 8, 256),
+        }
+        from ..ops.tpu.mc_pallas import mc_predict
+        pred_y, pred_c = mc_predict(ref_y.reshape((-1,) + ref_y.shape[2:]),
+                                    ref_c.reshape((-1,) + ref_c.shape[2:]),
+                                    tabs)
+        arrs = dict(arrs) | {"mc_pred_y": pred_y.reshape(B, n, 16, 16),
+                             "mc_pred_c": pred_c.reshape(B, n, 8, 16)}
+        eff_mc = "precomputed"
+    else:
+        eff_mc = mc
+
+    def one(a, ry, rc):
+        return decode_picture_impl(a, ry, rc, steps, w_mbs=w_mbs,
+                                   h_mbs=h_mbs,
+                                   chroma_qp_offset=chroma_qp_offset,
+                                   mc=eff_mc)
+
+    return jax.vmap(one, in_axes=(0, 0, 0))(arrs, ref_y, ref_c)
 
 
 decode_pictures_batch = functools.partial(
-    jax.jit, static_argnames=("w_mbs", "h_mbs", "chroma_qp_offset"))(
+    jax.jit, static_argnames=("w_mbs", "h_mbs", "chroma_qp_offset", "mc"))(
         _batched_impl)
 
 
