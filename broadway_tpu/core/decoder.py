@@ -401,11 +401,13 @@ class Decoder:
 
         ref_y, ref_c = RT.ref_stacks(self.dpb.buffer, sps.width,
                                      sps.height)
+        import os
+        be = RT.default_mc_backend()
         y, cb, cr = RT.decode_picture(
             arrs, ref_y, ref_c, self._steps,
             w_mbs=w, h_mbs=h,
             chroma_qp_offset=pps.chroma_qp_index_offset,
-            mc=RT.default_mc_backend())
+            mc=be, wf=os.environ.get("BROADWAY_WF", be))
         return RT.TpuFrame(y, cb, cr)
 
     def _drain(self) -> None:

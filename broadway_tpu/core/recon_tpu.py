@@ -85,8 +85,11 @@ class WavefrontLayout:
             ymin[d] = lo
             ymax[d] = hi
         self.ymin = ymin
-        max_diag = int((ymax - ymin).max()) + 1
-        self.LS = max_diag + 2 * LP
+        # lane = y + LP (uncompacted): neighbour lane shifts are the
+        # CONSTANTS shA=0 (left, d-1), shB=shC=shD=-1 (up row, d-2 /
+        # up-right d-1 / up-left d-3) — no per-step dynamic rolls.
+        # rounded to the sublane tile (8) so [S, LS, ...] rows DMA cleanly
+        self.LS = -(-(h_mbs + 2 * LP) // 8) * 8
         # addr -> (row d, lane)
         self.slot_row = np.zeros(w_mbs * h_mbs, np.int32)
         self.slot_lane = np.zeros(w_mbs * h_mbs, np.int32)
@@ -95,16 +98,11 @@ class WavefrontLayout:
                 d = x + 2 * y
                 a = y * w_mbs + x
                 self.slot_row[a] = d
-                self.slot_lane[a] = y - ymin[d] + LP
-        # lane shifts for neighbour diagonals (neighbour lane = lane + sh)
-        def sh(d, dd, dy):
-            if d - dd < 0:
-                return 0
-            return int(ymin[d]) + dy - int(ymin[d - dd])
-        self.shA = np.array([sh(d, 1, 0) for d in range(self.S)], np.int32)
-        self.shC = np.array([sh(d, 1, -1) for d in range(self.S)], np.int32)
-        self.shB = np.array([sh(d, 2, -1) for d in range(self.S)], np.int32)
-        self.shD = np.array([sh(d, 3, -1) for d in range(self.S)], np.int32)
+                self.slot_lane[a] = y + LP
+        self.shA = np.zeros(self.S, np.int32)
+        self.shC = np.full(self.S, -1, np.int32)
+        self.shB = np.full(self.S, -1, np.int32)
+        self.shD = np.full(self.S, -1, np.int32)
         # device-side pack map: packed slot -> mb addr (n = dummy row)
         n = w_mbs * h_mbs
         slot_addr = np.full(self.S * self.LS, n, np.int64)
@@ -364,7 +362,8 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                         steps: Dict[str, jnp.ndarray],
                         w_mbs: int, h_mbs: int, chroma_qp_offset: int,
                         run_stages: int = 3, mc: str = "pallas",
-                        mb0: int = 0, ref_h_mbs: int = None):
+                        mb0: int = 0, ref_h_mbs: int = None,
+                        wf: str = "xla"):
     lay = get_layout(w_mbs, h_mbs)
     S, LS = lay.S, lay.LS
     N = arrs["qp"].shape[0]          # raster MB count (band or full)
@@ -432,6 +431,13 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
     base_cr = jnp.where(is_pcm, pcm[:, 320:384].reshape(N, 8, 8),
                         jnp.where(is_p,
                                   jnp.clip(pred_cr + res_cr_mb, 0, 255), 0))
+
+    # ---- deblock kernel params (raster precompute, packed out) --------
+    P_db = None
+    if wf == "pallas" and run_stages > 2:
+        from ..ops.tpu import wavefront_pallas as K_wf
+        P_db = K_wf.deblock_params(arrs, w_mbs, h_mbs, chroma_qp_offset,
+                                   lay)
 
     # ---- device-side pack into the wavefront layout -------------------
     pk = lay.pack_dev
@@ -553,7 +559,26 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
         return (_unpack_to_plane(Y, lay, 16), _unpack_to_plane(CB, lay, 8),
                 _unpack_to_plane(CR, lay, 8))
 
-    # ---- stage 5: deblock wavefront -----------------------------------
+    if wf == "pallas":
+        from ..ops.tpu import wavefront_pallas as K_wf
+        Yf = Y.reshape(S, LS, 256)
+        Cf = jnp.concatenate([CB.reshape(S, LS, 64),
+                              CR.reshape(S, LS, 64)], axis=2)
+
+        def run_db(args):
+            o = K_wf.deblock_wavefront(args[0], args[1], P_db)
+            return o[0], o[1]
+
+        Yf, Cf = jax.lax.cond(arrs["whole_conceal"], lambda a: a,
+                              run_db, (Yf, Cf))
+        Y = Yf.reshape(S, LS, 16, 16)
+        CB = Cf[:, :, 0:64].reshape(S, LS, 8, 8)
+        CR = Cf[:, :, 64:128].reshape(S, LS, 8, 8)
+        return (_unpack_to_plane(Y, lay, 16),
+                _unpack_to_plane(CB, lay, 8),
+                _unpack_to_plane(CR, lay, 8))
+
+    # ---- stage 5: deblock wavefront (lax.scan fallback) ----------------
     tc4 = arrs["total_coeff"]          # [S,LS,4,4] raster
     mvp = arrs["mv"]
     refp = arrs["ref_blk"]
@@ -795,7 +820,8 @@ def default_mc_backend(device=None) -> str:
 
 decode_picture = functools.partial(
     jax.jit, static_argnames=("w_mbs", "h_mbs", "chroma_qp_offset",
-                              "run_stages", "mc", "mb0", "ref_h_mbs"))(
+                              "run_stages", "mc", "mb0", "ref_h_mbs",
+                              "wf"))(
                                   decode_picture_impl)
 
 

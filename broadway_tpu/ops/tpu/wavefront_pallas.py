@@ -1,0 +1,400 @@
+"""Wavefront stages (intra prediction + deblocking) as Pallas TPU kernels.
+
+The reference applies these as sequential per-MB raster loops
+(h264bsd_intra_prediction.c, h264bsd_deblocking.c:574 raster scan); the
+asm backends (SURVEY.md §2.4: PredictIntra_4x4/16x16, FilterDeblocking
+Luma/Chroma VerEdge/HorEdge) vectorize only within an edge.  Here the
+x+2y anti-diagonal wavefront (MB depends on A/B/C/D neighbours only) is
+the sequential grid dimension of a Pallas kernel; all MBs of a diagonal
+(the LS sublane axis) process in parallel on the VPU.
+
+Layout: pixel rows are LANE-MAJOR — one diagonal row is [LS, 256] int32
+with lane 16*py+px (luma) / [LS, 128] with cb at 8*py+px, cr at 64+...
+(chroma).  This hits the (8,128) tile exactly (no padding bloat) and
+makes horizontal-edge work static lane slices.  Column access (vertical
+edges, left-neighbour pels) uses an exact one-hot transpose matmul on
+the MXU (pixel values <= 255 are exact in bf16).
+
+Streaming: rows live in HBM ([S, LS, 256] packed tensors); the kernel
+keeps a 4-deep VMEM ring of diagonals (a row is read at step d and
+last modified at step d+2 as the 'up' neighbour, so it is final and
+DMA'd out at the end of step d+2).
+
+Boundary strengths and alpha/beta/tc0 thresholds are data-parallel over
+the whole picture and precomputed OUTSIDE the kernel (ops/tpu/deblock
+.boundary_strengths / .edge_thresholds); the kernel receives them as
+per-MB param lanes, so no table gathers run inside.
+
+Bit-exactness oracle: the lax.scan wavefront in core/recon_tpu.py
+(itself validated against the C reference decoder).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import intra as K_in
+
+# ---------------------------------------------------------------------
+# constant one-hot transpose matrices (bf16-exact for values <= 255)
+# ---------------------------------------------------------------------
+
+def _transpose_mat(n: int) -> np.ndarray:
+    """M[L, n*x + y] = 1 where L = n*y + x  (within-MB transpose)."""
+    m = np.zeros((n * n, n * n), np.float32)
+    for y in range(n):
+        for x in range(n):
+            m[n * y + x, n * x + y] = 1.0
+    return m
+
+
+_MT16 = _transpose_mat(16)                       # luma [256,256]
+_MT8 = np.zeros((128, 128), np.float32)          # chroma cb|cr blocks
+_MT8[0:64, 0:64] = _transpose_mat(8)
+_MT8[64:128, 64:128] = _transpose_mat(8)
+
+
+def _tmul(x, m):
+    """Exact one-hot transpose: x @ m (values <= 255, bf16-exact)."""
+    return jax.lax.dot_general(
+        x.astype(jnp.bfloat16), m,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
+def _luma_edge(p3, p2, p1, p0, q0, q1, q2, q3, bs, alpha, beta,
+               t0, t1, t2):
+    """filter_lines_luma with tc0 passed as per-bs values (no table)."""
+    gate = (bs > 0) & (jnp.abs(p0 - q0) < alpha) & \
+        (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta)
+    ap = jnp.abs(p2 - p0) < beta
+    aq = jnp.abs(q2 - q0) < beta
+    tc0v = jnp.where(bs == 1, t0, jnp.where(bs == 2, t1, t2))
+    half = (p0 + q0 + 1) >> 1
+    p1n = p1 + jnp.clip((p2 + half - (p1 << 1)) >> 1, -tc0v, tc0v)
+    q1n = q1 + jnp.clip((q2 + half - (q1 << 1)) >> 1, -tc0v, tc0v)
+    tc = tc0v + ap.astype(jnp.int32) + aq.astype(jnp.int32)
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0n = jnp.clip(p0 + delta, 0, 255)
+    q0n = jnp.clip(q0 - delta, 0, 255)
+    strong = jnp.abs(p0 - q0) < ((alpha >> 2) + 2)
+    tp = p1 + p0 + q0
+    p0s = jnp.where(strong & ap, (p2 + 2 * tp + q1 + 4) >> 3,
+                    (2 * p1 + p0 + q1 + 2) >> 2)
+    p1s = jnp.where(strong & ap, (p2 + tp + 2) >> 2, p1)
+    p2s = jnp.where(strong & ap, (2 * p3 + 3 * p2 + tp + 4) >> 3, p2)
+    tq = p0 + q0 + q1
+    q0s = jnp.where(strong & aq, (p1 + 2 * tq + q2 + 4) >> 3,
+                    (2 * q1 + q0 + p1 + 2) >> 2)
+    q1s = jnp.where(strong & aq, (tq + q2 + 2) >> 2, q1)
+    q2s = jnp.where(strong & aq, (2 * q3 + 3 * q2 + tq + 4) >> 3, q2)
+    is4 = bs == 4
+    p2o = jnp.where(gate & is4, p2s, p2)
+    p1o = jnp.where(gate, jnp.where(is4, p1s, jnp.where(ap, p1n, p1)), p1)
+    p0o = jnp.where(gate, jnp.where(is4, p0s, p0n), p0)
+    q0o = jnp.where(gate, jnp.where(is4, q0s, q0n), q0)
+    q1o = jnp.where(gate, jnp.where(is4, q1s, jnp.where(aq, q1n, q1)), q1)
+    q2o = jnp.where(gate & is4, q2s, q2)
+    return p2o, p1o, p0o, q0o, q1o, q2o
+
+
+def _chroma_edge(p1, p0, q0, q1, bs, alpha, beta, t0, t1, t2):
+    gate = (bs > 0) & (jnp.abs(p0 - q0) < alpha) & \
+        (jnp.abs(p1 - p0) < beta) & (jnp.abs(q1 - q0) < beta)
+    tc = jnp.where(bs == 1, t0, jnp.where(bs == 2, t1, t2)) + 1
+    delta = jnp.clip((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0n = jnp.clip(p0 + delta, 0, 255)
+    q0n = jnp.clip(q0 - delta, 0, 255)
+    p0s = (2 * p1 + p0 + q1 + 2) >> 2
+    q0s = (2 * q1 + q0 + p1 + 2) >> 2
+    is4 = bs == 4
+    p0o = jnp.where(gate, jnp.where(is4, p0s, p0n), p0)
+    q0o = jnp.where(gate, jnp.where(is4, q0s, q0n), q0)
+    return p0o, q0o
+
+
+# ---------------------------------------------------------------------
+# deblock kernel
+#
+# P param lanes per MB (int32 [LS, 128]):
+#   [0:16]   bs vertical edge e=c/4 at lanes 4e+r (line block r)
+#   [16:32]  bs horizontal edge e=r/4 at lanes 4e+c
+#   [32:37]  luma inner  (alpha, beta, tc0[0..2])
+#   [37:42]  luma top    ( " )
+#   [42:47]  luma left   ( " )
+#   [47:52]  chroma inner / [52:57] top / [57:62] left
+# ---------------------------------------------------------------------
+
+
+def _set_lanes(arr, start, *parts):
+    """Replace arr[:, start:start+sum(widths)] by the given parts."""
+    w = sum(int(x.shape[1]) for x in parts)
+    segs = []
+    if start > 0:
+        segs.append(arr[:, :start])
+    segs.extend(parts)
+    if start + w < arr.shape[1]:
+        segs.append(arr[:, start + w:])
+    return jnp.concatenate(segs, axis=1)
+
+
+def _rep4(x):
+    """[LS,4] -> [LS,16] each value repeated 4x (consecutive)."""
+    return pltpu.repeat(x, 4, axis=1)
+
+
+def _db_kernel(M16, M8, Y, C, P, Yo, Co, yr, cr_, pr, sems):
+    _t16 = lambda x: _tmul(x, M16[...])
+    _t8 = lambda x: _tmul(x, M8[...])
+    d = pl.program_id(0)
+    S = pl.num_programs(0)
+    sl = d % 4
+
+    cp_y = pltpu.make_async_copy(Y.at[d], yr.at[sl], sems.at[0])
+    cp_c = pltpu.make_async_copy(C.at[d], cr_.at[sl], sems.at[1])
+    cp_p = pltpu.make_async_copy(P.at[d], pr, sems.at[2])
+    cp_y.start(); cp_c.start(); cp_p.start()
+    cp_y.wait(); cp_c.wait(); cp_p.wait()
+
+    own = yr[sl]                                     # [LS,256]
+    left = yr[(sl - 1) % 4]                          # same sublane
+    up = jnp.concatenate(                            # sublane shift +1
+        [jnp.zeros((1, 256), jnp.int32), yr[(sl - 2) % 4][:-1]], axis=0)
+
+    p = pr[...]
+    thr = lambda o: (p[:, o:o + 1], p[:, o + 1:o + 2], p[:, o + 2:o + 3],
+                     p[:, o + 3:o + 4], p[:, o + 4:o + 5])
+
+    # ---- luma vertical edges (transposed space) ----------------------
+    T = _t16(own)                                    # lane 16x+py
+    TL = _t16(left)
+    for e in range(4):
+        c = 4 * e
+        al, be, t0, t1, t2 = thr(202 if e == 0 else 192)
+        bs = p[:, 16 * e:16 * e + 16]                # [LS,16] per line
+        if e == 0:
+            psrc = TL
+            pc = 12 * 16
+        else:
+            psrc = T
+            pc = (c - 4) * 16
+        p3 = psrc[:, pc:pc + 16]
+        p2 = psrc[:, pc + 16:pc + 32]
+        p1 = psrc[:, pc + 32:pc + 48]
+        p0 = psrc[:, pc + 48:pc + 64]
+        q0 = T[:, c * 16:c * 16 + 16]
+        q1 = T[:, c * 16 + 16:c * 16 + 32]
+        q2 = T[:, c * 16 + 32:c * 16 + 48]
+        q3 = T[:, c * 16 + 48:c * 16 + 64]
+        p2o, p1o, p0o, q0o, q1o, q2o = _luma_edge(
+            p3, p2, p1, p0, q0, q1, q2, q3, bs, al, be, t0, t1, t2)
+        if e == 0:
+            TL = _set_lanes(TL, 13 * 16, p2o, p1o, p0o)
+        else:
+            T = _set_lanes(T, pc + 16, p2o, p1o, p0o)
+        T = _set_lanes(T, c * 16, q0o, q1o, q2o)
+    own = _t16(T)
+    left = _t16(TL)
+
+    # ---- luma horizontal edges (original space) ----------------------
+    for e in range(4):
+        r = 4 * e
+        al, be, t0, t1, t2 = thr(197 if e == 0 else 192)
+        bs = p[:, 64 + 16 * e:64 + 16 * e + 16]
+        psrc = up if e == 0 else own
+        prow = 12 * 16 if e == 0 else (r - 4) * 16
+        p3 = psrc[:, prow:prow + 16]
+        p2 = psrc[:, prow + 16:prow + 32]
+        p1 = psrc[:, prow + 32:prow + 48]
+        p0 = psrc[:, prow + 48:prow + 64]
+        q0 = own[:, r * 16:r * 16 + 16]
+        q1 = own[:, r * 16 + 16:r * 16 + 32]
+        q2 = own[:, r * 16 + 32:r * 16 + 48]
+        q3 = own[:, r * 16 + 48:r * 16 + 64]
+        p2o, p1o, p0o, q0o, q1o, q2o = _luma_edge(
+            p3, p2, p1, p0, q0, q1, q2, q3, bs, al, be, t0, t1, t2)
+        if e == 0:
+            up = _set_lanes(up, 13 * 16, p2o, p1o, p0o)
+        else:
+            own = _set_lanes(own, prow + 16, p2o, p1o, p0o)
+        own = _set_lanes(own, r * 16, q0o, q1o, q2o)
+
+    # ---- chroma (cb in lanes 0:64, cr in 64:128) ----------------------
+    cown = cr_[sl]
+    cleft = cr_[(sl - 1) % 4]
+    cup = jnp.concatenate(
+        [jnp.zeros((1, 128), jnp.int32), cr_[(sl - 2) % 4][:-1]], axis=0)
+
+    TC = _t8(cown)
+    TCL = _t8(cleft)
+    for e, (col, cls_off) in enumerate(((0, 217), (4, 207))):
+        al, be, t0, t1, t2 = thr(cls_off)
+        bs = p[:, 128 + 16 * e:128 + 16 * e + 16]
+        if e == 0:
+            p1 = jnp.concatenate([TCL[:, 48:56], TCL[:, 112:120]], axis=1)
+            p0 = jnp.concatenate([TCL[:, 56:64], TCL[:, 120:128]], axis=1)
+        else:
+            p1 = jnp.concatenate([TC[:, 16:24], TC[:, 80:88]], axis=1)
+            p0 = jnp.concatenate([TC[:, 24:32], TC[:, 88:96]], axis=1)
+        cc = col * 8
+        q0 = jnp.concatenate([TC[:, cc:cc + 8],
+                              TC[:, 64 + cc:64 + cc + 8]], axis=1)
+        q1 = jnp.concatenate([TC[:, cc + 8:cc + 16],
+                              TC[:, 64 + cc + 8:64 + cc + 16]], axis=1)
+        p0o, q0o = _chroma_edge(p1, p0, q0, q1, bs, al, be, t0, t1, t2)
+        if e == 0:
+            TCL = _set_lanes(TCL, 56, p0o[:, 0:8])
+            TCL = _set_lanes(TCL, 120, p0o[:, 8:16])
+        else:
+            TC = _set_lanes(TC, 24, p0o[:, 0:8])
+            TC = _set_lanes(TC, 88, p0o[:, 8:16])
+        TC = _set_lanes(TC, cc, q0o[:, 0:8])
+        TC = _set_lanes(TC, 64 + cc, q0o[:, 8:16])
+    cown = _t8(TC)
+    cleft = _t8(TCL)
+
+    for e, (row, cls_off) in enumerate(((0, 212), (4, 207))):
+        al, be, t0, t1, t2 = thr(cls_off)
+        bs = p[:, 160 + 16 * e:160 + 16 * e + 16]
+        rr = row * 8
+        if e == 0:
+            p1 = jnp.concatenate([cup[:, 48:56], cup[:, 112:120]], axis=1)
+            p0 = jnp.concatenate([cup[:, 56:64], cup[:, 120:128]], axis=1)
+        else:
+            p1 = jnp.concatenate([cown[:, 16:24], cown[:, 80:88]], axis=1)
+            p0 = jnp.concatenate([cown[:, 24:32], cown[:, 88:96]], axis=1)
+        q0 = jnp.concatenate([cown[:, rr:rr + 8],
+                              cown[:, 64 + rr:64 + rr + 8]], axis=1)
+        q1 = jnp.concatenate([cown[:, rr + 8:rr + 16],
+                              cown[:, 64 + rr + 8:64 + rr + 16]], axis=1)
+        p0o, q0o = _chroma_edge(p1, p0, q0, q1, bs, al, be, t0, t1, t2)
+        if e == 0:
+            cup = _set_lanes(cup, 56, p0o[:, 0:8])
+            cup = _set_lanes(cup, 120, p0o[:, 8:16])
+        else:
+            cown = _set_lanes(cown, 24, p0o[:, 0:8])
+            cown = _set_lanes(cown, 88, p0o[:, 8:16])
+        cown = _set_lanes(cown, rr, q0o[:, 0:8])
+        cown = _set_lanes(cown, 64 + rr, q0o[:, 8:16])
+
+    # ---- write back rings + stream out final row d-2 -------------------
+    yr[sl] = own
+    cr_[sl] = cown
+    yr[(sl - 1) % 4] = left
+    cr_[(sl - 1) % 4] = cleft
+    up_back = jnp.concatenate([up[1:], jnp.zeros((1, 256), jnp.int32)],
+                              axis=0)
+    cup_back = jnp.concatenate([cup[1:], jnp.zeros((1, 128), jnp.int32)],
+                               axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (yr.shape[1], 1), 0)
+    keep = lane == yr.shape[1] - 1
+    yr[(sl - 2) % 4] = jnp.where(keep, yr[(sl - 2) % 4], up_back)
+    cr_[(sl - 2) % 4] = jnp.where(keep, cr_[(sl - 2) % 4], cup_back)
+
+    @pl.when(d >= 2)
+    def _():
+        o_y = pltpu.make_async_copy(yr.at[(sl - 2) % 4], Yo.at[d - 2],
+                                    sems.at[3])
+        o_c = pltpu.make_async_copy(cr_.at[(sl - 2) % 4], Co.at[d - 2],
+                                    sems.at[4])
+        o_y.start(); o_c.start()
+        o_y.wait(); o_c.wait()
+
+    @pl.when(d == S - 1)
+    def _():
+        for k in (1, 0):
+            @pl.when(d - k >= 0)
+            def _():
+                o_y = pltpu.make_async_copy(yr.at[(sl - k) % 4],
+                                            Yo.at[d - k], sems.at[3])
+                o_c = pltpu.make_async_copy(cr_.at[(sl - k) % 4],
+                                            Co.at[d - k], sems.at[4])
+                o_y.start(); o_c.start()
+                o_y.wait(); o_c.wait()
+
+
+def deblock_params(arrs, w_mbs: int, h_mbs: int, chroma_qp_offset: int,
+                   lay) -> jnp.ndarray:
+    """Whole-picture bS + threshold precompute (plain XLA, raster in,
+    packed [S, LS, 128] out) for the deblock kernel's P operand."""
+    from . import deblock as K_db
+
+    n = w_mbs * h_mbs
+    tc4 = arrs["total_coeff"]
+    mv = arrs["mv"]
+    ref4 = arrs["ref_blk"]
+    intra = ~arrs["is_inter"]
+    en = arrs["enable"]
+    bs_top, bs_left = K_db.boundary_strengths(
+        tc4, mv, ref4[:, ::2, ::2], intra, arrs["FT"], arrs["FL"],
+        w_mbs, h_mbs)
+    bs_top = jnp.where(en[:, None, None], bs_top, 0)
+    bs_left = jnp.where(en[:, None, None], bs_left, 0)
+
+    qp = arrs["qp"]
+    qg = qp.reshape(h_mbs, w_mbs)
+    qp_a = jnp.concatenate([qg[:, :1], qg[:, :-1]], axis=1).reshape(n)
+    qp_b = jnp.concatenate([qg[:1], qg[:-1]], axis=0).reshape(n)
+    co = arrs["chroma_off_mb"]
+
+    def classes(coff):
+        t = K_db.edge_thresholds(qp, qp_a, qp_b, arrs["offA"],
+                                 arrs["offB"], chroma_off=coff)
+        cols = []
+        for cls in ("inner", "top", "left"):
+            alpha, beta, ia = t[cls]
+            tc0 = K_db.TC0_J[ia]                       # [n,3]
+            cols += [alpha[:, None], beta[:, None], tc0]
+        return jnp.concatenate(cols, axis=1)           # [n,15]
+
+    P = jnp.zeros((n, 256), jnp.int32)
+    P = P.at[:, 0:64].set(
+        jnp.repeat(bs_left.transpose(0, 2, 1), 4, axis=2).reshape(n, 64))
+    P = P.at[:, 64:128].set(
+        jnp.repeat(bs_top, 4, axis=2).reshape(n, 64))
+    for e, col in enumerate((0, 2)):
+        cv = jnp.repeat(bs_left[:, :, col], 2, axis=1)       # [n,8]
+        P = P.at[:, 128 + 16 * e:128 + 16 * e + 8].set(cv)
+        P = P.at[:, 128 + 16 * e + 8:128 + 16 * e + 16].set(cv)
+    for e, row in enumerate((0, 2)):
+        ch = jnp.repeat(bs_top[:, row, :], 2, axis=1)        # [n,8]
+        P = P.at[:, 160 + 16 * e:160 + 16 * e + 8].set(ch)
+        P = P.at[:, 160 + 16 * e + 8:160 + 16 * e + 16].set(ch)
+    P = P.at[:, 192:207].set(classes(None))
+    P = P.at[:, 207:222].set(classes(co))
+    return lay.pack_dev(P)
+
+
+@jax.jit
+def deblock_wavefront(Y, C, P):
+    """Y [S,LS,256] i32, C [S,LS,128] i32, P [S,LS,256] i32 ->
+    filtered (Y', C')."""
+    S, LS = Y.shape[0], Y.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((4, LS, 256), jnp.int32),
+            pltpu.VMEM((4, LS, 128), jnp.int32),
+            pltpu.VMEM((LS, 256), jnp.int32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+    )
+    return pl.pallas_call(
+        _db_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S, LS, 256), jnp.int32),
+                   jax.ShapeDtypeStruct((S, LS, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.asarray(_MT16, jnp.bfloat16), jnp.asarray(_MT8, jnp.bfloat16),
+      Y, C, P)
