@@ -432,12 +432,41 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                         jnp.where(is_p,
                                   jnp.clip(pred_cr + res_cr_mb, 0, 255), 0))
 
-    # ---- deblock kernel params (raster precompute, packed out) --------
-    P_db = None
-    if wf == "pallas" and run_stages > 2:
+    # ---- Pallas wavefront path: intra + deblock kernels ----------------
+    if wf == "pallas":
         from ..ops.tpu import wavefront_pallas as K_wf
+        pk = lay.pack_dev
+        Yf = pk(base_y.reshape(N, 256))
+        Cf = pk(jnp.concatenate([base_cb.reshape(N, 64),
+                                 base_cr.reshape(N, 64)], axis=1))
+
+        def unpack(Yf, Cf):
+            Yp = Yf.reshape(S, LS, 16, 16)
+            CBp = Cf[:, :, 0:64].reshape(S, LS, 8, 8)
+            CRp = Cf[:, :, 64:128].reshape(S, LS, 8, 8)
+            return (_unpack_to_plane(Yp, lay, 16),
+                    _unpack_to_plane(CBp, lay, 8),
+                    _unpack_to_plane(CRp, lay, 8))
+
+        if run_stages <= 1:
+            return unpack(Yf, Cf)
+        RYf = pk(res_y_mb.reshape(N, 256))
+        RCf = pk(jnp.concatenate([res_cb_mb.reshape(N, 64),
+                                  res_cr_mb.reshape(N, 64)], axis=1))
+        Pin = K_wf.intra_params(arrs, lay)
+        Yf, Cf = K_wf.intra_wavefront(Yf, Cf, RYf, RCf, Pin)
+        if run_stages <= 2:
+            return unpack(Yf, Cf)
         P_db = K_wf.deblock_params(arrs, w_mbs, h_mbs, chroma_qp_offset,
                                    lay)
+
+        def run_db(args):
+            o = K_wf.deblock_wavefront(args[0], args[1], P_db)
+            return o[0], o[1]
+
+        Yf, Cf = jax.lax.cond(arrs["whole_conceal"], lambda a: a,
+                              run_db, (Yf, Cf))
+        return unpack(Yf, Cf)
 
     # ---- device-side pack into the wavefront layout -------------------
     pk = lay.pack_dev
@@ -557,25 +586,6 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
 
     if run_stages <= 2:   # profiling: skip deblock
         return (_unpack_to_plane(Y, lay, 16), _unpack_to_plane(CB, lay, 8),
-                _unpack_to_plane(CR, lay, 8))
-
-    if wf == "pallas":
-        from ..ops.tpu import wavefront_pallas as K_wf
-        Yf = Y.reshape(S, LS, 256)
-        Cf = jnp.concatenate([CB.reshape(S, LS, 64),
-                              CR.reshape(S, LS, 64)], axis=2)
-
-        def run_db(args):
-            o = K_wf.deblock_wavefront(args[0], args[1], P_db)
-            return o[0], o[1]
-
-        Yf, Cf = jax.lax.cond(arrs["whole_conceal"], lambda a: a,
-                              run_db, (Yf, Cf))
-        Y = Yf.reshape(S, LS, 16, 16)
-        CB = Cf[:, :, 0:64].reshape(S, LS, 8, 8)
-        CR = Cf[:, :, 64:128].reshape(S, LS, 8, 8)
-        return (_unpack_to_plane(Y, lay, 16),
-                _unpack_to_plane(CB, lay, 8),
                 _unpack_to_plane(CR, lay, 8))
 
     # ---- stage 5: deblock wavefront (lax.scan fallback) ----------------

@@ -398,3 +398,339 @@ def deblock_wavefront(Y, C, P):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(jnp.asarray(_MT16, jnp.bfloat16), jnp.asarray(_MT8, jnp.bfloat16),
       Y, C, P)
+
+
+# ---------------------------------------------------------------------
+# intra kernel
+#
+# P param lanes per MB (int32 [LS, 128]):
+#   0 av_a, 1 av_b, 2 av_c, 3 av_d, 4 is_i4, 5 is_i16, 6 i16_mode,
+#   7 chroma_mode, 8 is_intra_chroma, 9:25 i4 modes (z-order)
+#
+# Intra4x4 predictors: pred9 = (v @ W + RND) >> SHIFT where W[13,144]
+# encodes every mode's <=3-tap combination (ops/tpu/intra tables) and
+# v = [ul, up0..7, left0..3]; mode 2 (DC) patched separately.
+# ---------------------------------------------------------------------
+
+def _i4_weight_mat() -> np.ndarray:
+    w = np.zeros((16, 256), np.float32)
+    for m in range(9):
+        for y in range(4):
+            for x in range(4):
+                for k in range(3):
+                    i = K_in.IDX[m, y, x, k]
+                    c = K_in.COEF[m, y, x, k]
+                    if c:
+                        w[i, m * 16 + y * 4 + x] += c
+    return w
+
+
+def _i4_rnd_shift():
+    rnd = np.zeros((8, 256), np.int32)
+    shf = np.zeros((8, 256), np.int32)
+    for m in range(9):
+        for y in range(4):
+            for x in range(4):
+                rnd[:, m * 16 + y * 4 + x] = K_in.RND[m, y, x]
+                shf[:, m * 16 + y * 4 + x] = K_in.SHIFT[m, y, x]
+    return rnd, shf
+
+
+_W4 = _i4_weight_mat()
+_RND4, _SHF4 = _i4_rnd_shift()
+_MP16 = np.zeros((16, 128), np.float32)     # [y*4+x] -> [x*4+y]
+for _y in range(4):
+    for _x in range(4):
+        _MP16[4 * _y + _x, 4 * _x + _y] = 1.0
+
+# z-order block list as (bx, by)
+_ZBLK = K_in.BLK_ORDER
+
+
+def _bcast8(col):
+    """[LS,1] -> [LS,8]."""
+    return jnp.broadcast_to(col, (col.shape[0], 8))
+
+
+def _intra_kernel(M16, M8, MP16, W4, RND, SHF, Y, C, RY, RC, P,
+                  Yo, Co, yr, cr_, ry, rc, pp, sems):
+    _t16 = lambda x: _tmul(x, M16[...])
+    _t8 = lambda x: _tmul(x, M8[...])
+    d = pl.program_id(0)
+    sl = d % 4
+    LS = yr.shape[1]
+
+    cps = [pltpu.make_async_copy(Y.at[d], yr.at[sl], sems.at[0]),
+           pltpu.make_async_copy(C.at[d], cr_.at[sl], sems.at[1]),
+           pltpu.make_async_copy(RY.at[d], ry, sems.at[2]),
+           pltpu.make_async_copy(RC.at[d], rc, sems.at[3]),
+           pltpu.make_async_copy(P.at[d], pp, sems.at[4])]
+    for cp in cps:
+        cp.start()
+    for cp in cps:
+        cp.wait()
+
+    p = pp[...]
+    av_a = p[:, 0:1]
+    av_b = p[:, 1:2]
+    av_c = p[:, 2:3]
+    av_d = p[:, 3:4]
+    is_i4 = p[:, 4:5]
+    is_i16 = p[:, 5:6]
+
+    own0 = yr[sl]
+    res = ry[...]
+
+    def shift_up(a):
+        return jnp.concatenate(
+            [jnp.zeros((1, a.shape[1]), jnp.int32), a[:-1]], axis=0)
+
+    A = yr[(sl - 1) % 4]
+    Bm = shift_up(yr[(sl - 2) % 4])
+    Cm = shift_up(yr[(sl - 1) % 4])
+    Dm = shift_up(yr[(sl - 3) % 4])
+
+    # cross-MB top context [LS,21]: [D(15,15) | B row15 | C row15 0:4]
+    up_row = jnp.concatenate(
+        [Dm[:, 255:256], Bm[:, 240:256], Cm[:, 240:244]], axis=1)
+    lane_ix = jax.lax.broadcasted_iota(jnp.int32, (LS, 21), 1)
+    up_row = jnp.where(av_b > 0, up_row,
+                       jnp.where(lane_ix == 0, up_row, 0))
+    up_row = _set_lanes(up_row, 0,
+                        jnp.where(av_d > 0, up_row[:, 0:1], 0))
+    TA = _t16(A)
+    left_col = jnp.where(av_a > 0, TA[:, 240:256], 0)   # [LS,16]
+
+    # ---- Intra4x4: z-order sequential blocks --------------------------
+    X = own0
+    TX = _t16(own0)
+    for z, (bx, by) in enumerate(_ZBLK):
+        mode = p[:, 9 + z:10 + z]
+        # up pels [ul | up0..3 | ur0..3]
+        if by == 0:
+            ul = up_row[:, 4 * bx:4 * bx + 1]
+            up4 = up_row[:, 4 * bx + 1:4 * bx + 5]
+            if bx < 3:
+                ur_raw = up_row[:, 4 * bx + 5:4 * bx + 9]
+                ur_ok = av_b > 0
+            else:
+                ur_raw = up_row[:, 17:21]
+                ur_ok = av_c > 0
+            ur = jnp.where(ur_ok, ur_raw,
+                           jnp.broadcast_to(up4[:, 3:4], up4.shape))
+            au = av_b > 0
+        else:
+            urow = (4 * by - 1) * 16
+            if bx == 0:
+                ul = left_col[:, 4 * by - 1:4 * by]
+            else:
+                ul = X[:, urow + 4 * bx - 1:urow + 4 * bx]
+            up4 = X[:, urow + 4 * bx:urow + 4 * bx + 4]
+            code = K_in.NO_UPRIGHT
+            if (bx, by) in code or bx == 3:
+                ur = jnp.broadcast_to(up4[:, 3:4], up4.shape)
+            else:
+                ur = X[:, urow + 4 * bx + 4:urow + 4 * bx + 8]
+            au = jnp.full((LS, 1), True)
+        # left pels
+        if bx == 0:
+            left4 = left_col[:, 4 * by:4 * by + 4]
+            al = av_a > 0
+        else:
+            lrow = (4 * bx - 1) * 16
+            left4 = TX[:, lrow + 4 * by:lrow + 4 * by + 4]
+            al = jnp.full((LS, 1), True)
+
+        v = jnp.concatenate(
+            [ul, up4, ur, left4, jnp.zeros((LS, 3), jnp.int32)], axis=1)
+        lin = jax.lax.dot_general(
+            v.astype(jnp.bfloat16), W4[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        pred9 = (lin + RND[0:1]) >> SHF[0:1]            # [LS,256]
+        up_sum = up4[:, 0:1] + up4[:, 1:2] + up4[:, 2:3] + up4[:, 3:4]
+        l_sum = (left4[:, 0:1] + left4[:, 1:2] + left4[:, 2:3]
+                 + left4[:, 3:4])
+        dc = jnp.where(au & al, (up_sum + l_sum + 4) >> 3,
+                       jnp.where(au, (up_sum + 2) >> 2,
+                                 jnp.where(al, (l_sum + 2) >> 2, 128)))
+        sel = jnp.where(mode == 2,
+                        jnp.broadcast_to(dc, (LS, 16)),
+                        pred9[:, 0:16])
+        for m in (0, 1, 3, 4, 5, 6, 7, 8):
+            sel = jnp.where(mode == m, pred9[:, 16 * m:16 * m + 16], sel)
+        rb = jnp.concatenate(
+            [res[:, (4 * by + yy) * 16 + 4 * bx:
+                 (4 * by + yy) * 16 + 4 * bx + 4] for yy in range(4)],
+            axis=1)
+        blk = jnp.clip(sel + rb, 0, 255)                # [LS,16] y*4+x
+        blkT = _tmul(blk, MP16[...])[:, 0:16]           # x*4+y
+        for yy in range(4):
+            X = _set_lanes(X, (4 * by + yy) * 16 + 4 * bx,
+                           blk[:, 4 * yy:4 * yy + 4])
+            TX = _set_lanes(TX, (4 * bx + yy) * 16 + 4 * by,
+                            blkT[:, 4 * yy:4 * yy + 4])
+
+    # ---- Intra16x16 ----------------------------------------------------
+    up16 = up_row[:, 1:17]
+    ul16 = up_row[:, 0:1]
+    vert = jnp.concatenate([up16] * 16, axis=1)
+    hor = jnp.concatenate(
+        [jnp.broadcast_to(left_col[:, k:k + 1], (LS, 16))
+         for k in range(16)], axis=1)
+    up_s = jnp.sum(up16, axis=1, keepdims=True)
+    l_s = jnp.sum(left_col, axis=1, keepdims=True)
+    dc16 = jnp.where((av_b > 0) & (av_a > 0), (up_s + l_s + 16) >> 5,
+                     jnp.where(av_b > 0, (up_s + 8) >> 4,
+                               jnp.where(av_a > 0, (l_s + 8) >> 4, 128)))
+    dc16 = jnp.broadcast_to(dc16, (LS, 256))
+    hsum = jnp.zeros((LS, 1), jnp.int32)
+    vsum = jnp.zeros((LS, 1), jnp.int32)
+    for xs in range(8):
+        ue = ul16 if xs == 7 else up16[:, 6 - xs:7 - xs]
+        le = ul16 if xs == 7 else left_col[:, 6 - xs:7 - xs]
+        hsum = hsum + (xs + 1) * (up16[:, 8 + xs:9 + xs] - ue)
+        vsum = vsum + (xs + 1) * (left_col[:, 8 + xs:9 + xs] - le)
+    bb = (5 * hsum + 32) >> 6
+    cc16 = (5 * vsum + 32) >> 6
+    aa = 16 * (up16[:, 15:16] + left_col[:, 15:16])
+    li = jax.lax.broadcasted_iota(jnp.int32, (LS, 256), 1)
+    gx = li % 16
+    gy = li // 16
+    plane = jnp.clip((aa + bb * (gx - 7) + cc16 * (gy - 7) + 16) >> 5,
+                     0, 255)
+    m16 = p[:, 6:7]
+    pred16 = jnp.where(m16 == 0, vert,
+                       jnp.where(m16 == 1, hor,
+                                 jnp.where(m16 == 2, dc16, plane)))
+    i16out = jnp.clip(pred16 + res, 0, 255)
+
+    newY = jnp.where(is_i4 > 0, X, jnp.where(is_i16 > 0, i16out, own0))
+
+    # ---- chroma (cb lanes 0:64, cr 64:128) -----------------------------
+    cown = cr_[sl]
+    cres = rc[...]
+    Ac = cr_[(sl - 1) % 4]
+    Bc = shift_up(cr_[(sl - 2) % 4])
+    Dc = shift_up(cr_[(sl - 3) % 4])
+    TAc = _t8(Ac)
+
+    def cplane(off):
+        upc = jnp.where(av_b > 0, Bc[:, off + 56:off + 64], 0)
+        leftc = jnp.where(av_a > 0, TAc[:, off + 56:off + 64], 0)
+        ulc = jnp.where(av_d > 0, Dc[:, off + 63:off + 64], 0)
+        us0 = jnp.sum(upc[:, 0:4], axis=1, keepdims=True)
+        us1 = jnp.sum(upc[:, 4:8], axis=1, keepdims=True)
+        ls0 = jnp.sum(leftc[:, 0:4], axis=1, keepdims=True)
+        ls1 = jnp.sum(leftc[:, 4:8], axis=1, keepdims=True)
+        both = (av_b > 0) & (av_a > 0)
+        aub = av_b > 0
+        alf = av_a > 0
+
+        def dcq(cx, cy):
+            if (cx, cy) in ((0, 0), (1, 1)):
+                b = (([us0, us1][cx] + [ls0, ls1][cy] + 4) >> 3)
+            elif cx == 1:
+                b = (us1 + 2) >> 2
+            else:
+                b = (ls1 + 2) >> 2
+            u = ([us0, us1][cx] + 2) >> 2
+            lv = ([ls0, ls1][cy] + 2) >> 2
+            return jnp.where(both, b,
+                             jnp.where(aub, u, jnp.where(alf, lv, 128)))
+
+        li8 = jax.lax.broadcasted_iota(jnp.int32, (LS, 64), 1)
+        px8 = li8 % 8
+        py8 = li8 // 8
+        dcp = jnp.zeros((LS, 64), jnp.int32)
+        for cy in range(2):
+            for cx in range(2):
+                qm = (px8 // 4 == cx) & (py8 // 4 == cy)
+                dcp = jnp.where(qm, jnp.broadcast_to(dcq(cx, cy),
+                                                     (LS, 64)), dcp)
+        horc = jnp.concatenate(
+            [jnp.broadcast_to(leftc[:, k:k + 1], (LS, 8))
+             for k in range(8)], axis=1)
+        vertc = jnp.concatenate([upc] * 8, axis=1)
+        hs = jnp.zeros((LS, 1), jnp.int32)
+        vs = jnp.zeros((LS, 1), jnp.int32)
+        for xs in range(4):
+            ue = ulc if xs == 3 else upc[:, 2 - xs:3 - xs]
+            le = ulc if xs == 3 else leftc[:, 2 - xs:3 - xs]
+            hs = hs + (xs + 1) * (upc[:, 4 + xs:5 + xs] - ue)
+            vs = vs + (xs + 1) * (leftc[:, 4 + xs:5 + xs] - le)
+        bbc = (17 * hs + 16) >> 5
+        ccc = (17 * vs + 16) >> 5
+        aac = 16 * (upc[:, 7:8] + leftc[:, 7:8])
+        planec = jnp.clip((aac + bbc * (px8 - 3) + ccc * (py8 - 3)
+                           + 16) >> 5, 0, 255)
+        cm = p[:, 7:8]
+        predc = jnp.where(cm == 0, dcp,
+                          jnp.where(cm == 1, horc,
+                                    jnp.where(cm == 2, vertc, planec)))
+        return jnp.clip(predc + cres[:, off:off + 64], 0, 255)
+
+    outc = jnp.concatenate([cplane(0), cplane(64)], axis=1)
+    is_ic = p[:, 8:9]
+    newC = jnp.where(is_ic > 0, outc, cown)
+
+    yr[sl] = newY
+    cr_[sl] = newC
+    o_y = pltpu.make_async_copy(yr.at[sl], Yo.at[d], sems.at[5])
+    o_c = pltpu.make_async_copy(cr_.at[sl], Co.at[d], sems.at[6])
+    o_y.start(); o_c.start()
+    o_y.wait(); o_c.wait()
+
+
+@jax.jit
+def intra_wavefront(Y, C, RY, RC, P):
+    """Y [S,LS,256], C [S,LS,128], RY [S,LS,256], RC [S,LS,128],
+    P [S,LS,128] -> intra-reconstructed (Y', C')."""
+    S, LS = Y.shape[0], Y.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(S,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        scratch_shapes=[
+            pltpu.VMEM((4, LS, 256), jnp.int32),
+            pltpu.VMEM((4, LS, 128), jnp.int32),
+            pltpu.VMEM((LS, 256), jnp.int32),
+            pltpu.VMEM((LS, 128), jnp.int32),
+            pltpu.VMEM((LS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+    )
+    return pl.pallas_call(
+        _intra_kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((S, LS, 256), jnp.int32),
+                   jax.ShapeDtypeStruct((S, LS, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(jnp.asarray(_MT16, jnp.bfloat16), jnp.asarray(_MT8, jnp.bfloat16),
+      jnp.asarray(_MP16, jnp.bfloat16), jnp.asarray(_W4, jnp.bfloat16),
+      jnp.asarray(_RND4), jnp.asarray(_SHF4), Y, C, RY, RC, P)
+
+
+def intra_params(arrs, lay) -> jnp.ndarray:
+    """Per-MB intra param lanes [S, LS, 128] (packed) for the kernel."""
+    from ...bitstream.mb_layer import MB_I4x4, MB_I16x16
+    cls = arrs["mb_class"]
+    n = cls.shape[0]
+    P = jnp.zeros((n, 128), jnp.int32)
+    P = P.at[:, 0].set(arrs["av_a"].astype(jnp.int32))
+    P = P.at[:, 1].set(arrs["av_b"].astype(jnp.int32))
+    P = P.at[:, 2].set(arrs["av_c"].astype(jnp.int32))
+    P = P.at[:, 3].set(arrs["av_d"].astype(jnp.int32))
+    P = P.at[:, 4].set((cls == MB_I4x4).astype(jnp.int32))
+    P = P.at[:, 5].set((cls == MB_I16x16).astype(jnp.int32))
+    P = P.at[:, 6].set(arrs["i16_mode"])
+    P = P.at[:, 7].set(arrs["chroma_mode"])
+    P = P.at[:, 8].set(((cls == MB_I4x4) | (cls == MB_I16x16))
+                       .astype(jnp.int32))
+    zperm = jnp.asarray(np.array(
+        [by * 4 + bx for bx, by in K_in.BLK_ORDER], np.int32))
+    modes_z = jnp.take(arrs["i4_modes"].reshape(n, 16), zperm, axis=1)
+    P = P.at[:, 9:25].set(modes_z)
+    return lay.pack_dev(P)
