@@ -55,13 +55,14 @@ def main():
 
     # --- single stream steady state ---
     out = RT.decode_picture(arrs, ref_y, ref_c, steps,
-                            w_mbs=w, h_mbs=h, chroma_qp_offset=cqo, mc=mc)
+                            w_mbs=w, h_mbs=h, chroma_qp_offset=cqo,
+                            mc=mc, wf=mc)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = RT.decode_picture(arrs, ref_y, ref_c, steps,
                                 w_mbs=w, h_mbs=h, chroma_qp_offset=cqo,
-                                mc=mc)
+                                mc=mc, wf=mc)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / REPS
     fps_single = 1.0 / dt

@@ -116,12 +116,19 @@ class WavefrontLayout:
         out[self.slot_row, self.slot_lane] = arr
         return out
 
-    def pack_dev(self, a: jnp.ndarray) -> jnp.ndarray:
-        """[n, ...] -> [S, LS, ...] on device (row-gather, zero fill)."""
+    def pack_dev(self, a: jnp.ndarray, batch: int = 1) -> jnp.ndarray:
+        """[B*n, ...] -> [B*S, LS, ...] on device (row-gather, 0 fill)."""
+        n = self.w * self.h
         fill = jnp.zeros((1,) + a.shape[1:], a.dtype)
+        if batch == 1:
+            addr = self.slot_addr
+        else:
+            addr = np.concatenate(
+                [np.where(self.slot_addr == n, batch * n,
+                          self.slot_addr + b * n) for b in range(batch)])
         flat = jnp.take(jnp.concatenate([a, fill], axis=0),
-                        jnp.asarray(self.slot_addr), axis=0)
-        return flat.reshape((self.S, self.LS) + a.shape[1:])
+                        jnp.asarray(addr), axis=0)
+        return flat.reshape((batch * self.S, self.LS) + a.shape[1:])
 
 
 _LAYOUTS: Dict[tuple, WavefrontLayout] = {}
@@ -329,7 +336,7 @@ def mc_predict_xla(ref_y, ref_c, mv, ref_blk, w_mbs, h_mbs, mb0=0):
     hp0, wp0 = H + 2 * K_mcp.PAD, W + 2 * K_mcp.PAD
     hc0, wc0 = H // 2 + 2 * K_mcp.PAD, W // 2 + 2 * K_mcp.PAD
 
-    mb = mb0 + jnp.arange(n)
+    mb = mb0 + jnp.arange(n) % (w_mbs * h_mbs)
     pxv = (mb % w_mbs).astype(jnp.int32) * 16
     pyv = (mb // w_mbs).astype(jnp.int32) * 16
     bx = jnp.arange(4)[None, None, :]
@@ -363,10 +370,10 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                         w_mbs: int, h_mbs: int, chroma_qp_offset: int,
                         run_stages: int = 3, mc: str = "pallas",
                         mb0: int = 0, ref_h_mbs: int = None,
-                        wf: str = "xla"):
+                        wf: str = "xla", batch: int = 1):
     lay = get_layout(w_mbs, h_mbs)
     S, LS = lay.S, lay.LS
-    N = arrs["qp"].shape[0]          # raster MB count (band or full)
+    N = arrs["qp"].shape[0]     # raster MB count (band/full, x batch)
 
     # ---- stage 1: residuals (raster MB space) -------------------------
     qp = arrs["qp"]
@@ -435,37 +442,52 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
     # ---- Pallas wavefront path: intra + deblock kernels ----------------
     if wf == "pallas":
         from ..ops.tpu import wavefront_pallas as K_wf
-        pk = lay.pack_dev
+        pk = lambda a: lay.pack_dev(a, batch)
         Yf = pk(base_y.reshape(N, 256))
         Cf = pk(jnp.concatenate([base_cb.reshape(N, 64),
                                  base_cr.reshape(N, 64)], axis=1))
 
-        def unpack(Yf, Cf):
-            Yp = Yf.reshape(S, LS, 16, 16)
-            CBp = Cf[:, :, 0:64].reshape(S, LS, 8, 8)
-            CRp = Cf[:, :, 64:128].reshape(S, LS, 8, 8)
+        def unpack1(Yp, CBp, CRp):
             return (_unpack_to_plane(Yp, lay, 16),
                     _unpack_to_plane(CBp, lay, 8),
                     _unpack_to_plane(CRp, lay, 8))
+
+        def unpack(Yf, Cf):
+            Yp = Yf.reshape(batch, S, LS, 16, 16)
+            CBp = Cf[:, :, 0:64].reshape(batch, S, LS, 8, 8)
+            CRp = Cf[:, :, 64:128].reshape(batch, S, LS, 8, 8)
+            out = jax.vmap(unpack1)(Yp, CBp, CRp)
+            if batch == 1:
+                return out[0][0], out[1][0], out[2][0]
+            return out
 
         if run_stages <= 1:
             return unpack(Yf, Cf)
         RYf = pk(res_y_mb.reshape(N, 256))
         RCf = pk(jnp.concatenate([res_cb_mb.reshape(N, 64),
                                   res_cr_mb.reshape(N, 64)], axis=1))
-        Pin = K_wf.intra_params(arrs, lay)
+        Pin = K_wf.intra_params(arrs, pk)
         Yf, Cf = K_wf.intra_wavefront(Yf, Cf, RYf, RCf, Pin)
         if run_stages <= 2:
             return unpack(Yf, Cf)
-        P_db = K_wf.deblock_params(arrs, w_mbs, h_mbs, chroma_qp_offset,
-                                   lay)
+        P_db = K_wf.deblock_params(arrs, w_mbs, batch * h_mbs,
+                                   chroma_qp_offset, pk)
 
         def run_db(args):
             o = K_wf.deblock_wavefront(args[0], args[1], P_db)
             return o[0], o[1]
 
-        Yf, Cf = jax.lax.cond(arrs["whole_conceal"], lambda a: a,
-                              run_db, (Yf, Cf))
+        if batch == 1:
+            Yf, Cf = jax.lax.cond(
+                jnp.reshape(arrs["whole_conceal"], ()), lambda a: a,
+                run_db, (Yf, Cf))
+        else:
+            Yd, Cd = run_db((Yf, Cf))
+            wc = arrs["whole_conceal"].reshape(batch, 1, 1, 1)
+            Yf = jnp.where(wc, Yf.reshape(batch, S, LS, 256),
+                           Yd.reshape(batch, S, LS, 256))                 .reshape(batch * S, LS, 256)
+            Cf = jnp.where(wc, Cf.reshape(batch, S, LS, 128),
+                           Cd.reshape(batch, S, LS, 128))                 .reshape(batch * S, LS, 128)
         return unpack(Yf, Cf)
 
     # ---- device-side pack into the wavefront layout -------------------

@@ -320,7 +320,9 @@ def _db_kernel(M16, M8, Y, C, P, Yo, Co, yr, cr_, pr, sems):
 
 
 def deblock_params(arrs, w_mbs: int, h_mbs: int, chroma_qp_offset: int,
-                   lay) -> jnp.ndarray:
+                   pk) -> jnp.ndarray:
+    # h_mbs = batch * per-picture height when streams are stacked along
+    # the diagonal axis (cross-picture edges are FT/FL-gated to bs=0)
     """Whole-picture bS + threshold precompute (plain XLA, raster in,
     packed [S, LS, 128] out) for the deblock kernel's P operand."""
     from . import deblock as K_db
@@ -368,7 +370,7 @@ def deblock_params(arrs, w_mbs: int, h_mbs: int, chroma_qp_offset: int,
         P = P.at[:, 160 + 16 * e + 8:160 + 16 * e + 16].set(ch)
     P = P.at[:, 192:207].set(classes(None))
     P = P.at[:, 207:222].set(classes(co))
-    return lay.pack_dev(P)
+    return pk(P)
 
 
 @jax.jit
@@ -713,7 +715,7 @@ def intra_wavefront(Y, C, RY, RC, P):
       jnp.asarray(_RND4), jnp.asarray(_SHF4), Y, C, RY, RC, P)
 
 
-def intra_params(arrs, lay) -> jnp.ndarray:
+def intra_params(arrs, pk) -> jnp.ndarray:
     """Per-MB intra param lanes [S, LS, 128] (packed) for the kernel."""
     from ...bitstream.mb_layer import MB_I4x4, MB_I16x16
     cls = arrs["mb_class"]
@@ -733,4 +735,4 @@ def intra_params(arrs, lay) -> jnp.ndarray:
         [by * 4 + bx for bx, by in K_in.BLK_ORDER], np.int32))
     modes_z = jnp.take(arrs["i4_modes"].reshape(n, 16), zperm, axis=1)
     P = P.at[:, 9:25].set(modes_z)
-    return lay.pack_dev(P)
+    return pk(P)

@@ -30,32 +30,29 @@ def _batched_impl(arrs, ref_y, ref_c, steps, w_mbs, h_mbs,
     R = ref_y.shape[1]
 
     if mc == "pallas":
-        n = arrs["qp"].shape[1]
+        # TPU path: one impl call, streams stacked along the MB /
+        # diagonal axes (the Pallas kernels' masks make cross-stream
+        # neighbour edges no-ops, exactly like picture borders).
         soff = (jnp.arange(B, dtype=jnp.int32) * R)
-        tabs = {
-            "scal0": (arrs["mc_scal0"] + (soff[:, None] << 2)).reshape(-1),
-            "scal1": arrs["mc_scal1"].reshape(-1),
-            "scal2": arrs["mc_scal2"].reshape(-1),
-            "blkdata": (arrs["mc_blkdata"].reshape(B, -1, 1024)
-                        .at[:, :, 1:32:2].add(soff[:, None, None])
-                        ).reshape(-1),
-            "blkvec": arrs["mc_blkvec"].reshape(-1, 8, 256),
-        }
-        from ..ops.tpu.mc_pallas import mc_predict
-        pred_y, pred_c = mc_predict(ref_y.reshape((-1,) + ref_y.shape[2:]),
-                                    ref_c.reshape((-1,) + ref_c.shape[2:]),
-                                    tabs)
-        arrs = dict(arrs) | {"mc_pred_y": pred_y.reshape(B, n, 16, 16),
-                             "mc_pred_c": pred_c.reshape(B, n, 8, 16)}
-        eff_mc = "precomputed"
-    else:
-        eff_mc = mc
+        flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in
+                arrs.items()}
+        flat["mc_scal0"] = (arrs["mc_scal0"]
+                            + (soff[:, None] << 2)).reshape(-1)
+        flat["mc_blkdata"] = (arrs["mc_blkdata"].reshape(B, -1, 1024)
+                              .at[:, :, 1:32:2]
+                              .add(soff[:, None, None])).reshape(-1)
+        return decode_picture_impl(
+            flat, ref_y.reshape((-1,) + ref_y.shape[2:]),
+            ref_c.reshape((-1,) + ref_c.shape[2:]), steps,
+            w_mbs=w_mbs, h_mbs=h_mbs,
+            chroma_qp_offset=chroma_qp_offset,
+            mc="pallas", wf="pallas", batch=B)
 
     def one(a, ry, rc):
         return decode_picture_impl(a, ry, rc, steps, w_mbs=w_mbs,
                                    h_mbs=h_mbs,
                                    chroma_qp_offset=chroma_qp_offset,
-                                   mc=eff_mc)
+                                   mc=mc)
 
     return jax.vmap(one, in_axes=(0, 0, 0))(arrs, ref_y, ref_c)
 
