@@ -24,21 +24,16 @@ def split_nal_units(data: bytes) -> Iterator[Tuple[int, bytes]]:
     Accepts both 3- and 4-byte start codes; the payload excludes the start
     code and runs to the next start code (trailing zero bytes stripped).
     """
+    import numpy as np
     n = len(data)
-    i = 0
-    # find first start code
-    starts: List[int] = []
-    zeros = 0
-    while i < n:
-        b = data[i]
-        if b == 1 and zeros >= 2:
-            starts.append(i + 1)
-            zeros = 0
-        elif b == 0:
-            zeros += 1
-        else:
-            zeros = 0
-        i += 1
+    a = np.frombuffer(data, np.uint8)
+    # start code = ...00 00 01 (>=2 zeros then 1)
+    if n >= 3:
+        one = a[2:] == 1
+        z2 = (a[1:-1] == 0) & (a[:-2] == 0)
+        starts = (np.nonzero(one & z2)[0] + 3).tolist()
+    else:
+        starts = []
     for k, s in enumerate(starts):
         e = starts[k + 1] - 3 if k + 1 < len(starts) else n
         # the next start code may have been 4-byte: strip extra zeros
@@ -52,20 +47,40 @@ def unescape_rbsp(payload: bytes) -> bytes:
     """Strip emulation-prevention 0x03 bytes (inverse of spec 7.4.1.1)."""
     if b"\x00\x00\x03" not in payload:
         return payload
-    out = bytearray()
-    zeros = 0
-    i = 0
+    import numpy as np
+    a = np.frombuffer(payload, np.uint8)
     n = len(payload)
-    while i < n:
-        b = payload[i]
-        if b == 3 and zeros >= 2 and i + 1 < n and payload[i + 1] <= 3:
-            zeros = 0
+    # candidate EPB: 0x03 preceded by >= 2 zeros and followed by <= 3
+    cand = np.zeros(n, bool)
+    if n >= 3:
+        c = ((a[2:] == 3) & (a[1:-1] == 0) & (a[:-2] == 0))
+        nxt = np.ones(n - 2, bool)
+        nxt[:-1] = a[3:] <= 3
+        cand[2:] = c & nxt
+    # spec: after an unescaped 03, the zero run restarts — consecutive
+    # "00 00 03 00 00 03" is handled because the stripped 03 resets the
+    # count only when actually removed. Candidates can't overlap (a
+    # removed 03 sits between zeros), so positions are exact unless a
+    # prior candidate was itself preceded by a removed 03 — impossible
+    # since 03 != 00. Rare pathological "00 00 03 03" keeps only the
+    # first 03 as EPB; the second 03 follows a non-zero so it is not a
+    # candidate. Fall back to the scalar loop if candidates touch.
+    idx = np.nonzero(cand)[0]
+    if len(idx) >= 2 and (np.diff(idx) < 3).any():
+        out = bytearray()
+        zeros = 0
+        i = 0
+        while i < n:
+            b = payload[i]
+            if b == 3 and zeros >= 2 and i + 1 < n and payload[i + 1] <= 3:
+                zeros = 0
+                i += 1
+                continue
+            out.append(b)
+            zeros = zeros + 1 if b == 0 else 0
             i += 1
-            continue
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-        i += 1
-    return bytes(out)
+        return bytes(out)
+    return np.delete(a, idx).tobytes()
 
 
 class BitReader:

@@ -199,21 +199,20 @@ def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
     av_d = nb_ok(-1, -1, True)
 
     # deblock params per MB (concealed MBs: qp 40, offsets 0, idc 0)
-    idc = np.zeros(n, np.int32)
-    offA = np.zeros(n, np.int32)
-    offB = np.zeros(n, np.int32)
-    coff = np.full(n, chroma_qp_offset, np.int32)
     concealed = getattr(pic, "concealed", None)
-    for a in range(n):
-        if concealed is not None and concealed[a]:
-            coff[a] = 0
-            continue
-        s = pic.slice_id[a]
-        if s >= 0:
-            sp = pic.slice_params[s]
-            idc[a] = sp.disable_deblocking_idc
-            offA[a] = sp.alpha_c0_offset
-            offB[a] = sp.beta_offset
+    n_sp = len(pic.slice_params)
+    sp_idc = np.array([sp.disable_deblocking_idc
+                       for sp in pic.slice_params] + [0], np.int32)
+    sp_a = np.array([sp.alpha_c0_offset
+                     for sp in pic.slice_params] + [0], np.int32)
+    sp_b = np.array([sp.beta_offset
+                     for sp in pic.slice_params] + [0], np.int32)
+    sidx = np.where(pic.slice_id >= 0, pic.slice_id, n_sp)
+    valid = np.ones(n, bool) if concealed is None else ~concealed
+    idc = np.where(valid, sp_idc[sidx], 0).astype(np.int32)
+    offA = np.where(valid, sp_a[sidx], 0).astype(np.int32)
+    offB = np.where(valid, sp_b[sidx], 0).astype(np.int32)
+    coff = np.where(valid, chroma_qp_offset, 0).astype(np.int32)
     enable = dec & (idc != 1)
     idcg = grid(idc)
 
@@ -270,32 +269,7 @@ def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
         "whole_conceal": np.array(
             getattr(pic, "whole_pic_concealed", False)),
     }
-    # MC side tables (Pallas kernel); positions are global (mb0 offset)
-    out.update(mc_host_tables(mv_b, ref_b, w, h, mb0))
     return out
-
-
-def mc_host_tables(mv_b: np.ndarray, ref_b: np.ndarray, w_mbs: int,
-                   h_mbs: int, mb0: int = 0) -> Dict[str, np.ndarray]:
-    """Pallas-MC scalar/vector tables for a (band of a) picture, with
-    MB positions offset by mb0 (global raster index of the first MB)."""
-    nb = mv_b.shape[0]
-    if mb0 == 0 and nb == w_mbs * h_mbs:
-        t = K_mcp.mc_tables(mv_b, ref_b, w_mbs * 16, h_mbs * 16)
-    else:
-        # build for the full grid positions of this band
-        full_mv = np.zeros((w_mbs * h_mbs, 4, 4, 2), np.int32)
-        full_ref = np.zeros((w_mbs * h_mbs, 4, 4), np.int32)
-        full_mv[mb0:mb0 + nb] = mv_b
-        full_ref[mb0:mb0 + nb] = ref_b
-        t = K_mcp.mc_tables(full_mv, full_ref, w_mbs * 16, h_mbs * 16)
-        t = {"scal0": t["scal0"][mb0:mb0 + nb],
-             "scal1": t["scal1"][mb0:mb0 + nb],
-             "scal2": t["scal2"][mb0:mb0 + nb],
-             "blkdata": t["blkdata"].reshape(-1, 1024)[mb0:mb0 + nb]
-             .reshape(-1),
-             "blkvec": t["blkvec"][mb0:mb0 + nb]}
-    return {"mc_" + k: v for k, v in t.items()}
 
 
 def step_tables(w_mbs: int, h_mbs: int) -> Dict[str, np.ndarray]:
@@ -414,9 +388,10 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
         pred_y = arrs["mc_pred_y"]
         pred_c = arrs["mc_pred_c"]
     elif mc == "pallas":
-        tabs = {k[3:]: arrs[k] for k in
-                ("mc_scal0", "mc_scal1", "mc_scal2", "mc_blkdata",
-                 "mc_blkvec")}
+        tabs = K_mcp.mc_tables_dev(
+            arrs["mv"], arrs["ref_blk"], w_mbs * 16,
+            (ref_h_mbs or h_mbs) * 16, mb0=mb0,
+            n_ref=ref_y.shape[0] // batch, batch=batch)
         pred_y, pred_c = K_mcp.mc_predict(ref_y, ref_c, tabs)
     else:
         pred_y, pred_c = mc_predict_xla(ref_y, ref_c, arrs["mv"],

@@ -116,15 +116,15 @@ def mc_tables(mv: np.ndarray, ref_blk: np.ndarray, width: int, height: int):
     hp0, wp0 = height + 2 * PAD, width + 2 * PAD
     hc0, wc0 = height // 2 + 2 * PAD, width // 2 + 2 * PAD
 
-    mb = np.arange(n)
-    px = (mb % w_mbs).astype(np.int64) * 16
-    py = (mb // w_mbs).astype(np.int64) * 16
+    mb = np.arange(n, dtype=np.int32)
+    px = (mb % w_mbs) * 16
+    py = (mb // w_mbs) * 16
     bx = np.arange(4)[None, None, :]
     by = np.arange(4)[None, :, None]
 
-    mvx = mv[..., 0].astype(np.int64)
-    mvy = mv[..., 1].astype(np.int64)
-    ref = np.maximum(ref_blk, 0).astype(np.int64)
+    mvx = mv[..., 0].astype(np.int32)
+    mvy = mv[..., 1].astype(np.int32)
+    ref = np.maximum(ref_blk, 0).astype(np.int32)
 
     xi = px[:, None, None] + bx * 4 + (mvx >> 2)
     yi = py[:, None, None] + by * 4 + (mvy >> 2)
@@ -153,7 +153,7 @@ def mc_tables(mv: np.ndarray, ref_blk: np.ndarray, width: int, height: int):
     scx = cx0f.max(1) - cx0f.min(1)
     fits = (single_ref & (sy <= _SPREAD_Y) & (sx <= _SPREAD_X)
             & (scy <= _SPREAD_CY) & (scx <= _SPREAD_CX))
-    mode = np.where(uniform, 0, np.where(fits, 1, 2)).astype(np.int64)
+    mode = np.where(uniform, 0, np.where(fits, 1, 2)).astype(np.int32)
 
     ly0a = np.where(mode < 2, y0f.min(1), 0) & ~7
     lx0a = np.where(mode < 2, x0f.min(1), 0) & ~127
@@ -172,7 +172,7 @@ def mc_tables(mv: np.ndarray, ref_blk: np.ndarray, width: int, height: int):
     w0 = ((bly0a >> 3) | ((blx0a >> 7) << 9) | ((bcy0a >> 3) << 15)
           | ((bcx0a >> 7) << 23))
     w1 = reff
-    blk = np.zeros((n, 1024), np.int64)   # 1024 = HBM 1-D tile size
+    blk = np.zeros((n, 1024), np.int32)   # 1024 = HBM 1-D tile size
     blk[:, 0:32] = np.stack([w0, w1], axis=-1).reshape(n, 32)
     blkdata = blk.reshape(-1)
 
@@ -182,10 +182,11 @@ def mc_tables(mv: np.ndarray, ref_blk: np.ndarray, width: int, height: int):
     dxb = x0f - np.where(m2, blx0a, lx0a[:, None])
     cyb = cy0f - np.where(m2, bcy0a, cy0a[:, None])
     cxb = 2 * cx0f - np.where(m2, bcx0a, cx0a[:, None])
-    lane_off = np.where(m2, np.arange(16)[None, :] * SLAB_L, 0)
+    lane_off = np.where(m2, np.arange(16, dtype=np.int32)[None, :]
+                        * SLAB_L, 0)
 
-    jj = np.arange(16)[None, None, :]            # lane-within-group
-    blkvec = np.zeros((n, 8, 256), np.int64)
+    jj = np.arange(16, dtype=np.int32)[None, None, :]
+    blkvec = np.zeros((n, 8, 256), np.int32)
     # row 0: luma lane-gather target: slab lane of window col j
     blkvec[:, 0] = (lane_off[:, :, None] + dxb[:, :, None]
                     + jj).reshape(n, 256)
@@ -206,6 +207,109 @@ def mc_tables(mv: np.ndarray, ref_blk: np.ndarray, width: int, height: int):
     return {"scal0": to32(scal0), "scal1": to32(scal1),
             "scal2": to32(scal2), "blkdata": to32(blkdata),
             "blkvec": to32(blkvec)}
+
+
+def mc_tables_dev(mv, ref_blk, width: int, height: int,
+                  mb0=0, n_ref: int = 0, batch: int = 1):
+    """Device-side (jnp) twin of mc_tables — runs inside the jitted
+    pipeline so no side tables cross the host boundary.
+
+    mv [N,4,4,2] i32, ref_blk [N,4,4] i32 (N = batch * nMB or a band);
+    mb0: global raster index of the first MB (bands; may be traced);
+    n_ref: ref slots per stream (batch ref-index offsets); batch:
+    streams stacked along the MB axis."""
+    N = mv.shape[0]
+    w_mbs = width // 16
+    h_mbs = height // 16
+    n_one = N // batch
+    hp0, wp0 = height + 2 * PAD, width + 2 * PAD
+    hc0, wc0 = height // 2 + 2 * PAD, width // 2 + 2 * PAD
+
+    mb = mb0 + jnp.arange(N, dtype=jnp.int32) % n_one
+    px = (mb % w_mbs) * 16
+    py = (mb // w_mbs) * 16
+    bx = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+    by = jnp.arange(4, dtype=jnp.int32)[None, :, None]
+
+    mvx = mv[..., 0]
+    mvy = mv[..., 1]
+    soff = (jnp.arange(N, dtype=jnp.int32) // n_one) * n_ref
+    ref = jnp.maximum(ref_blk, 0) + soff[:, None, None]
+
+    xi = px[:, None, None] + bx * 4 + (mvx >> 2)
+    yi = py[:, None, None] + by * 4 + (mvy >> 2)
+    x0 = jnp.clip(xi - 2 + PAD, 0, wp0 - 10)
+    y0 = jnp.clip(yi - 2 + PAD, 0, hp0 - 10)
+    case = (mvy & 3) * 4 + (mvx & 3)
+
+    cxi = (px[:, None, None] // 2) + bx * 2 + (mvx >> 3)
+    cyi = (py[:, None, None] // 2) + by * 2 + (mvy >> 3)
+    cx0 = jnp.clip(cxi + PAD, 0, wc0 - 3)
+    cy0 = jnp.clip(cyi + PAD, 0, hc0 - 3)
+    cdx = mvx & 7
+    cdy = mvy & 7
+
+    flat = lambda a: a.reshape(N, 16)
+    x0f, y0f = flat(x0), flat(y0)
+    cx0f, cy0f = flat(cx0), flat(cy0)
+    casef, cdxf, cdyf, reff = flat(case), flat(cdx), flat(cdy), flat(ref)
+    mvxf, mvyf = flat(mvx), flat(mvy)
+
+    uniform = ((mvxf == mvxf[:, :1]).all(1) & (mvyf == mvyf[:, :1]).all(1)
+               & (reff == reff[:, :1]).all(1))
+    single_ref = (reff == reff[:, :1]).all(1)
+    fits = (single_ref
+            & (y0f.max(1) - y0f.min(1) <= _SPREAD_Y)
+            & (x0f.max(1) - x0f.min(1) <= _SPREAD_X)
+            & (cy0f.max(1) - cy0f.min(1) <= _SPREAD_CY)
+            & (cx0f.max(1) - cx0f.min(1) <= _SPREAD_CX))
+    mode = jnp.where(uniform, 0, jnp.where(fits, 1, 2))
+
+    ly0a = jnp.where(mode < 2, y0f.min(1), 0) & ~7
+    lx0a = jnp.where(mode < 2, x0f.min(1), 0) & ~127
+    cy0a = jnp.where(mode < 2, cy0f.min(1), 0) & ~7
+    cx0a = jnp.where(mode < 2, (2 * cx0f).min(1), 0) & ~127
+
+    scal0 = mode | (reff[:, 0] << 2)
+    scal1 = ly0a | (lx0a << 12)
+    scal2 = cy0a | (cx0a << 12)
+
+    bly0a = y0f & ~7
+    blx0a = x0f & ~127
+    bcy0a = cy0f & ~7
+    bcx0a = (2 * cx0f) & ~127
+    w0 = ((bly0a >> 3) | ((blx0a >> 7) << 9) | ((bcy0a >> 3) << 15)
+          | ((bcx0a >> 7) << 23))
+    w1 = reff
+    blk = jnp.zeros((N, 1024), jnp.int32)
+    blk = blk.at[:, 0:32].set(
+        jnp.stack([w0, w1], axis=-1).reshape(N, 32))
+    blkdata = blk.reshape(-1)
+
+    m2 = (mode == 2)[:, None]
+    dyb = y0f - jnp.where(m2, bly0a, ly0a[:, None])
+    dxb = x0f - jnp.where(m2, blx0a, lx0a[:, None])
+    cyb = cy0f - jnp.where(m2, bcy0a, cy0a[:, None])
+    cxb = 2 * cx0f - jnp.where(m2, bcx0a, cx0a[:, None])
+    lane_off = jnp.where(
+        m2, jnp.arange(16, dtype=jnp.int32)[None, :] * SLAB_L, 0)
+
+    jj = jnp.arange(16, dtype=jnp.int32)[None, None, :]
+    rows = [
+        (lane_off[:, :, None] + dxb[:, :, None] + jj).reshape(N, 256),
+        (dyb[:, :, None] + 2 + jj).reshape(N, 256),
+        jnp.repeat(casef, 16, axis=1),
+        (lane_off[:, :, None] + cxb[:, :, None] + jj).reshape(N, 256),
+        (cyb[:, :, None] + jj).reshape(N, 256),
+        jnp.repeat(cdxf, 16, axis=1),
+        jnp.repeat(cdyf, 16, axis=1),
+        jnp.zeros((N, 256), jnp.int32),
+    ]
+    blkvec = jnp.stack(rows, axis=1)
+    return {"scal0": scal0.astype(jnp.int32),
+            "scal1": scal1.astype(jnp.int32),
+            "scal2": scal2.astype(jnp.int32),
+            "blkdata": blkdata, "blkvec": blkvec}
 
 
 def _clip8(a):

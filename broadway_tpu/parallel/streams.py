@@ -33,14 +33,8 @@ def _batched_impl(arrs, ref_y, ref_c, steps, w_mbs, h_mbs,
         # TPU path: one impl call, streams stacked along the MB /
         # diagonal axes (the Pallas kernels' masks make cross-stream
         # neighbour edges no-ops, exactly like picture borders).
-        soff = (jnp.arange(B, dtype=jnp.int32) * R)
         flat = {k: v.reshape((-1,) + v.shape[2:]) for k, v in
                 arrs.items()}
-        flat["mc_scal0"] = (arrs["mc_scal0"]
-                            + (soff[:, None] << 2)).reshape(-1)
-        flat["mc_blkdata"] = (arrs["mc_blkdata"].reshape(B, -1, 1024)
-                              .at[:, :, 1:32:2]
-                              .add(soff[:, None, None])).reshape(-1)
         return decode_picture_impl(
             flat, ref_y.reshape((-1,) + ref_y.shape[2:]),
             ref_c.reshape((-1,) + ref_c.shape[2:]), steps,
