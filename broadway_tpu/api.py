@@ -28,6 +28,7 @@ class DecRet(enum.Enum):
     HDRS_RDY_BUFF_NOT_EMPTY = 5
     PARAM_ERR = -1
     STRM_ERR = -4
+    EVALUATION_LIMIT_EXCEEDED = -8   # H264SwDecApi.c:74-76
 
 
 @dataclasses.dataclass
@@ -67,12 +68,25 @@ class H264Decoder:
     API_VERSION = (2, 3)   # mirrors H264SwDecGetAPIVersion (v2.3)
 
     def __init__(self, no_output_reordering: bool = False,
-                 backend: str = "cpu") -> None:
+                 backend: str = "cpu", evaluation_limit: int = 0,
+                 trace=None) -> None:
+        """evaluation_limit: picture cap after which decode() returns
+        EVALUATION_LIMIT_EXCEEDED (the reference's H264DEC_EVALUATION
+        build, 500 frames, H264SwDecApi.c:74-76); 0 = unlimited.
+        trace: optional callable(str) receiving API-call trace lines
+        (the reference's H264SwDecTrace hook, H264SwDecApi.c:67-72)."""
         self._core = _Core(no_reordering=no_output_reordering,
                            backend=backend)
         self._pending = []     # drained display-order outputs
         self._headers_reported = False
         self._pic_id = 0
+        self._eval_limit = evaluation_limit
+        self._pic_count = 0
+        self._trace = trace
+
+    def _trc(self, msg: str) -> None:
+        if self._trace is not None:
+            self._trace(msg)
 
     # ------------------------------------------------------------------
     def decode(self, data: bytes, pic_id: int = 0,
@@ -82,8 +96,11 @@ class H264Decoder:
         Stops at picture / headers boundaries like the reference so the
         caller can interleave next_picture() calls.
         """
+        self._trc(f"H264SwDecDecode# dataLen {len(data)} picId {pic_id}")
         if not data:
             return DecRet.PARAM_ERR, 0
+        if self._eval_limit and self._pic_count >= self._eval_limit:
+            return DecRet.EVALUATION_LIMIT_EXCEEDED, 0
         self._pic_id = pic_id
         if nal_unit_stream:
             nals = [(0, data)]
@@ -108,14 +125,17 @@ class H264Decoder:
             except StreamError:
                 continue
             n_out_before = len(self._core.outputs)
+            n_pic_before = self._core.pic_number
             try:
                 self._core.decode_nal(nal)
             except StreamError:
                 # reference maps stream errors to H264SWDEC_STRM_ERROR and
                 # continues on next call
                 return DecRet.STRM_ERR, max(consumed_to, 0)
-            if len(self._core.outputs) > n_out_before or \
-                    self._just_finished_picture():
+            if (self._core.pic_number > n_pic_before
+                    or len(self._core.outputs) > n_out_before):
+                self._pic_count += self._core.pic_number - n_pic_before
+                self._trc(f"H264SwDecDecode# PIC_RDY pic {self._pic_count}")
                 self._drain()
                 more = consumed_to < end
                 return (DecRet.PIC_RDY_BUFF_NOT_EMPTY if more
@@ -137,6 +157,7 @@ class H264Decoder:
 
     # ------------------------------------------------------------------
     def next_picture(self, flush: bool = False) -> Optional[DecPicture]:
+        self._trc(f"H264SwDecNextPicture# flush {int(flush)}")
         """Display-order output; flush=True drains buffered pictures at
         end of stream (H264SwDecNextPicture semantics)."""
         if flush and not self._pending:

@@ -416,3 +416,112 @@ class Decoder:
                 frame=p.frame, is_idr=p.is_idr, pic_id=p.pic_id,
                 num_err_mbs=p.num_err_mbs, width=self.sps.width,
                 height=self.sps.height, crop=self.sps.crop))
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (SURVEY.md §5): decoder state = parameter-set
+    # stores + DPB frames + POC state at a picture boundary. IDR frames
+    # are the natural resume points (DPB flush semantics), but any
+    # inter-picture boundary checkpoint restores exactly.
+    def save_state(self) -> dict:
+        """Snapshot the decode state (host-resident, pickle-able)."""
+        import copy
+
+        import numpy as _np
+
+        def planes(f):
+            if f is None:
+                return None
+            return (_np.asarray(f.y).astype(_np.uint8),
+                    _np.asarray(f.cb).astype(_np.uint8),
+                    _np.asarray(f.cr).astype(_np.uint8))
+
+        st = {
+            "sps_store": copy.deepcopy(self.sps_store),
+            "pps_store": copy.deepcopy(self.pps_store),
+            "active": (self.active_sps_id, self.active_pps_id),
+            "poc_state": copy.deepcopy(self.poc_state),
+            "aub": copy.deepcopy(self.aub),
+            "pic_number": self.pic_number,
+            "headers_ready": self.headers_ready,
+            "dpb": None,
+        }
+        d = self.dpb
+        if d is not None:
+            pics = []
+            for p in d.buffer:
+                f = {k: getattr(p, k) for k in
+                     ("status", "frame_num", "pic_num", "poc",
+                      "to_be_displayed", "is_idr", "pic_id",
+                      "num_err_mbs", "non_existing")}
+                f["planes"] = planes(p.frame)
+                pics.append(f)
+            idx = {id(p): i for i, p in enumerate(d.buffer)}
+            st["dpb"] = {
+                "ctor": (d.dpb_size, d.max_ref_frames, d.max_frame_num,
+                         d.no_reordering),
+                "fullness": d.fullness,
+                "num_ref_frames": d.num_ref_frames,
+                "prev_ref_frame_num": d.prev_ref_frame_num,
+                "last_contains_mmco5": d.last_contains_mmco5,
+                "max_long_term_frame_idx": d.max_long_term_frame_idx,
+                "buffer": pics,
+                "out": [idx[id(p)] for p in d.out],
+                "current": idx.get(id(d.current), None),
+            }
+        return st
+
+    def load_state(self, st: dict) -> None:
+        """Restore a save_state() snapshot (backend frames rebuilt)."""
+        from .dpb import Dpb, DpbPicture
+
+        self.sps_store = st["sps_store"]
+        self.pps_store = st["pps_store"]
+        self.active_sps_id, self.active_pps_id = st["active"]
+        self.sps = (self.sps_store.get(self.active_sps_id)
+                    if self.active_sps_id is not None else None)
+        self.pps = (self.pps_store.get(self.active_pps_id)
+                    if self.active_pps_id is not None else None)
+        self.poc_state = st["poc_state"]
+        self.aub = st["aub"]
+        self.pic_number = st["pic_number"]
+        self.headers_ready = st["headers_ready"]
+        self.outputs = []
+        self.pic = self.pic_header = None
+        sd = st["dpb"]
+        if sd is None:
+            self.dpb = None
+            return
+        dpb_size, max_ref, max_fn, no_reorder = sd["ctor"]
+        d = Dpb.__new__(Dpb)
+        d.max_ref_frames = max_ref
+        d.dpb_size = dpb_size
+        d.max_frame_num = max_fn
+        d.no_reordering = no_reorder
+        d.fullness = sd["fullness"]
+        d.num_ref_frames = sd["num_ref_frames"]
+        d.prev_ref_frame_num = sd["prev_ref_frame_num"]
+        d.last_contains_mmco5 = sd["last_contains_mmco5"]
+        d.max_long_term_frame_idx = sd["max_long_term_frame_idx"]
+        d.buffer = []
+        for f in sd["buffer"]:
+            p = DpbPicture(**{k: v for k, v in f.items()
+                              if k != "planes"})
+            if f["planes"] is not None:
+                y, cb, cr = f["planes"]
+                if self.backend == "tpu":
+                    import jax.numpy as jnp
+
+                    from .recon_tpu import TpuFrame
+                    p.frame = TpuFrame(jnp.asarray(y.astype("int32")),
+                                       jnp.asarray(cb.astype("int32")),
+                                       jnp.asarray(cr.astype("int32")))
+                else:
+                    fr = Frame.__new__(Frame)
+                    fr.y, fr.cb, fr.cr = y, cb, cr
+                    p.frame = fr
+            d.buffer.append(p)
+        d.list = [None] * 33
+        d.out = [d.buffer[i] for i in sd["out"]]
+        d.current = (d.buffer[sd["current"]]
+                     if sd["current"] is not None else None)
+        self.dpb = d
