@@ -149,25 +149,53 @@ def _rep4(x):
     return pltpu.repeat(x, 4, axis=1)
 
 
-def _db_kernel(M16, M8, Y, C, P, Yo, Co, yr, cr_, pr, sems):
+def _db_kernel(M16, M8, Y, C, P, Yo, Co, yr, cr_, pr, sems, osems):
     _t16 = lambda x: _tmul(x, M16[...])
     _t8 = lambda x: _tmul(x, M8[...])
     d = pl.program_id(0)
     S = pl.num_programs(0)
     sl = d % 4
 
-    cp_y = pltpu.make_async_copy(Y.at[d], yr.at[sl], sems.at[0])
-    cp_c = pltpu.make_async_copy(C.at[d], cr_.at[sl], sems.at[1])
-    cp_p = pltpu.make_async_copy(P.at[d], pr, sems.at[2])
-    cp_y.start(); cp_c.start(); cp_p.start()
-    cp_y.wait(); cp_c.wait(); cp_p.wait()
+    # software pipeline: row d's loads were issued at step d-1; issue
+    # row d+1 now; out-DMAs are waited only when their slot is reused.
+    def in_copies(row, par):
+        return [pltpu.make_async_copy(Y.at[row], yr.at[row % 4],
+                                      sems.at[par, 0]),
+                pltpu.make_async_copy(C.at[row], cr_.at[row % 4],
+                                      sems.at[par, 1]),
+                pltpu.make_async_copy(P.at[row], pr.at[row % 2],
+                                      sems.at[par, 2])]
+
+    def out_copies(row, par):
+        return [pltpu.make_async_copy(yr.at[row % 4], Yo.at[row],
+                                      osems.at[par, 0]),
+                pltpu.make_async_copy(cr_.at[row % 4], Co.at[row],
+                                      osems.at[par, 1])]
+
+    @pl.when(d == 0)
+    def _():
+        for cp in in_copies(0, 0):
+            cp.start()
+
+    for cp in in_copies(d, d % 2):
+        cp.wait()
+
+    @pl.when(d + 1 < S)
+    def _():
+        @pl.when(d >= 3)
+        def _():
+            # slot (d+1)%4 held row d-3; its out was issued at step d-1
+            for cp in out_copies(d - 3, (d - 1) % 2):
+                cp.wait()
+        for cp in in_copies(d + 1, (d + 1) % 2):
+            cp.start()
 
     own = yr[sl]                                     # [LS,256]
     left = yr[(sl - 1) % 4]                          # same sublane
     up = jnp.concatenate(                            # sublane shift +1
         [jnp.zeros((1, 256), jnp.int32), yr[(sl - 2) % 4][:-1]], axis=0)
 
-    p = pr[...]
+    p = pr[d % 2]
     thr = lambda o: (p[:, o:o + 1], p[:, o + 1:o + 2], p[:, o + 2:o + 3],
                      p[:, o + 3:o + 4], p[:, o + 4:o + 5])
 
@@ -299,24 +327,27 @@ def _db_kernel(M16, M8, Y, C, P, Yo, Co, yr, cr_, pr, sems):
 
     @pl.when(d >= 2)
     def _():
-        o_y = pltpu.make_async_copy(yr.at[(sl - 2) % 4], Yo.at[d - 2],
-                                    sems.at[3])
-        o_c = pltpu.make_async_copy(cr_.at[(sl - 2) % 4], Co.at[d - 2],
-                                    sems.at[4])
-        o_y.start(); o_c.start()
-        o_y.wait(); o_c.wait()
+        for cp in out_copies(d - 2, d % 2):
+            cp.start()
 
     @pl.when(d == S - 1)
     def _():
+        # drain outstanding outs, then flush rows d-1 and d
+        @pl.when((d >= 3) & (d + 1 >= S))
+        def _():
+            for cp in out_copies(d - 3, (d - 1) % 2):
+                cp.wait()
+        @pl.when(d >= 2)
+        def _():
+            for cp in out_copies(d - 2, d % 2):
+                cp.wait()
         for k in (1, 0):
             @pl.when(d - k >= 0)
             def _():
-                o_y = pltpu.make_async_copy(yr.at[(sl - k) % 4],
-                                            Yo.at[d - k], sems.at[3])
-                o_c = pltpu.make_async_copy(cr_.at[(sl - k) % 4],
-                                            Co.at[d - k], sems.at[4])
-                o_y.start(); o_c.start()
-                o_y.wait(); o_c.wait()
+                for cp in out_copies(d - k, (d - k) % 2):
+                    cp.start()
+                for cp in out_copies(d - k, (d - k) % 2):
+                    cp.wait()
 
 
 def deblock_params(arrs, w_mbs: int, h_mbs: int, chroma_qp_offset: int,
@@ -388,8 +419,9 @@ def deblock_wavefront(Y, C, P):
         scratch_shapes=[
             pltpu.VMEM((4, LS, 256), jnp.int32),
             pltpu.VMEM((4, LS, 128), jnp.int32),
-            pltpu.VMEM((LS, 256), jnp.int32),
-            pltpu.SemaphoreType.DMA((5,)),
+            pltpu.VMEM((2, LS, 256), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     return pl.pallas_call(
