@@ -77,15 +77,8 @@ def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ct.c_void_p)
 
 
-def decode_slice_data_native(rbsp: bytes, bit_pos: int, pic: PictureData,
-                             parser: MbParser, header: SliceHeader,
-                             sps, pps, sg_map: np.ndarray, slice_id: int,
-                             ref_slots: List[int]) -> int:
-    """Native twin of frontend.decode_slice_data; returns final bit pos.
-    Raises SliceDataError on stream errors (with last_mb_addr)."""
-    lib = _load()
-    assert lib is not None
-
+def append_slice_params(pic: PictureData, header: SliceHeader,
+                        slice_id: int, ref_slots: List[int]) -> None:
     pic.slice_params.append(SliceParams(
         slice_type=header.slice_type,
         disable_deblocking_idc=header.disable_deblocking_idc,
@@ -93,6 +86,23 @@ def decode_slice_data_native(rbsp: bytes, bit_pos: int, pic: PictureData,
         beta_offset=header.beta_offset,
         ref_slots=list(ref_slots)))
     assert len(pic.slice_params) == slice_id + 1
+
+
+def decode_slice_data_native(rbsp: bytes, bit_pos: int, pic: PictureData,
+                             parser: MbParser, header: SliceHeader,
+                             sps, pps, sg_map: np.ndarray, slice_id: int,
+                             ref_slots: List[int],
+                             append_params: bool = True) -> int:
+    """Native twin of frontend.decode_slice_data; returns final bit pos.
+    Raises SliceDataError on stream errors (with last_mb_addr).
+    The ctypes call releases the GIL, so independent slices of one
+    picture can parse concurrently on a thread pool (entropy and
+    prediction contexts are slice-local in Baseline H.264)."""
+    lib = _load()
+    assert lib is not None
+
+    if append_params:
+        append_slice_params(pic, header, slice_id, ref_slots)
 
     si = _SliceInfo(
         w_mbs=pic.width_mbs, h_mbs=pic.height_mbs,

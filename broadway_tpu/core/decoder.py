@@ -63,13 +63,25 @@ class Decoder:
     plugs in via `backend`)."""
 
     def __init__(self, no_reordering: bool = False,
-                 backend: str = "cpu", frontend: str = "auto") -> None:
+                 backend: str = "cpu", frontend: str = "auto",
+                 parallel_slices: int = 0) -> None:
         # frontend: "auto" (native C++ if built), "native", "python"
+        # parallel_slices: >1 = parse a picture's slices concurrently on
+        # a thread pool (the TPU-host analogue of Broadway's sliceMode
+        # multi-worker CAVLC, Decoder.js:268-341; the native parser
+        # releases the GIL). Slice parsing is deferred to the picture
+        # boundary, like the reference's AU-boundary end-of-pic test.
         import os as _os
         env_fe = _os.environ.get("BW_FRONTEND")
         if env_fe:
             frontend = env_fe
         self.frontend = frontend
+        self.parallel_slices = parallel_slices
+        self._deferred = []
+        self._executor = None
+        if parallel_slices > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._executor = ThreadPoolExecutor(parallel_slices)
         self.sps_store: Dict[int, Sps] = {}
         self.pps_store: Dict[int, Pps] = {}
         self.active_sps_id: Optional[int] = None
@@ -107,9 +119,37 @@ class Decoder:
         return out
 
     def flush(self) -> None:
+        if self.pic is not None and self._deferred:
+            self._run_deferred()
+            self._finish_picture(concealed=False)
         if self.dpb is not None:
             self.dpb.flush()
             self._drain()
+
+    def _run_deferred(self) -> None:
+        """Parse this picture's deferred slices concurrently (each
+        native call releases the GIL; slices write disjoint MB ranges)."""
+        from ..bitstream.native import decode_slice_data_native
+        work, self._deferred = self._deferred, []
+
+        def one(args):
+            rbsp, pos, header, sg_map, slice_id, ref_slots = args
+            try:
+                decode_slice_data_native(
+                    rbsp, pos, self.pic, self.parser, header, self.sps,
+                    self.pps, sg_map, slice_id, ref_slots,
+                    append_params=False)
+                return None
+            except SliceDataError as e:
+                return (header, sg_map, slice_id, e)
+
+        for res in self._executor.map(one, work):
+            if res is not None:
+                header, sg_map, slice_id, e = res
+                mark_slice_corrupted(self.pic, header.first_mb, sg_map,
+                                     slice_id, e.last_mb_addr,
+                                     self.sps.width_mbs)
+        self.n_decoded_mbs = int(self.pic.decoded.sum())
 
     # ------------------------------------------------------------------
     def decode_nal(self, nal: NalUnit) -> None:
@@ -217,6 +257,8 @@ class Decoder:
         r = BitReader(nal.rbsp)
         new_au = self._check_au_boundary(nal, r)
         if new_au and self.pic is not None:
+            if self._deferred:
+                self._run_deferred()
             self._finish_picture(concealed=True)
 
         # activation happens on the first slice of the picture
@@ -263,7 +305,13 @@ class Decoder:
                 from ..bitstream import native as nat
                 if self.frontend == "auto" and not nat.available():
                     use_native = False
-            if use_native:
+            if use_native and self._executor is not None:
+                from ..bitstream.native import append_slice_params
+                append_slice_params(self.pic, header, slice_id, ref_slots)
+                self._deferred.append((nal_rbsp, r.pos, header, sg_map,
+                                       slice_id, ref_slots))
+                return        # parsed at the picture boundary (batched)
+            elif use_native:
                 from ..bitstream.native import decode_slice_data_native
                 decode_slice_data_native(nal_rbsp, r.pos, self.pic,
                                          self.parser, header, self.sps,

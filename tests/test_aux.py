@@ -110,3 +110,17 @@ def test_multi_instance_isolation():
                                         fromlist=["Decoder"])
                     .Decoder().decode_annexb(data))
     assert outs[0] == want
+
+
+def test_parallel_slice_parse():
+    """Threaded per-slice CAVLC parse == serial, bit-exact."""
+    from broadway_tpu.bitstream import native as nat
+    if not nat.available():
+        pytest.skip("native front-end not built")
+    from broadway_tpu.core.decoder import Decoder
+    data, _ = streams.banded_stream(n_bands=4, height_mbs=4, n_frames=3,
+                                    seed=77)
+    want = [o.frame.tobytes() for o in Decoder().decode_annexb(data)]
+    got = [o.frame.tobytes()
+           for o in Decoder(parallel_slices=4).decode_annexb(data)]
+    assert got == want
