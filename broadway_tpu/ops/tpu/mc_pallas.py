@@ -356,23 +356,29 @@ def _mc_kernel(s0, s1, s2, blkdata_hbm, vec, ref_y, ref_c,
                slab_y, slab_c, bslab_y, bslab_c, t1, t1c,
                blkrow, sem_s, sem_b, sem_bc, sem_r):
     m = pl.program_id(0)
+    NM = pl.num_programs(0)
     w0 = s0[m]
     mode = w0 & 3
-    ref0 = w0 >> 2
-    ly0a = pl.multiple_of(s1[m] & 0xFFF, 8)
-    lx0a = pl.multiple_of(s1[m] >> 12, 128)
-    cy0a = pl.multiple_of(s2[m] & 0xFFF, 8)
-    cx0a = pl.multiple_of(s2[m] >> 12, 128)
 
-    # ---- DMAs -------------------------------------------------------
-    @pl.when(mode < 2)
+    # ---- slab DMAs, software-pipelined one MB ahead -------------------
+    def slab_copies(mm, par):
+        w = s0[mm]
+        rr = w >> 2
+        la = pl.multiple_of(s1[mm] & 0xFFF, 8)
+        lx = pl.multiple_of(s1[mm] >> 12, 128)
+        ca = pl.multiple_of(s2[mm] & 0xFFF, 8)
+        cx = pl.multiple_of(s2[mm] >> 12, 128)
+        return [pltpu.make_async_copy(
+                    ref_y.at[rr, pl.ds(la, LSLAB_R), pl.ds(lx, SLAB_L)],
+                    slab_y.at[par], sem_s.at[par, 0]),
+                pltpu.make_async_copy(
+                    ref_c.at[rr, pl.ds(ca, CSLAB_R), pl.ds(cx, SLAB_L)],
+                    slab_c.at[par], sem_s.at[par, 1])]
+
+    @pl.when((m == 0) & (mode < 2))
     def _():
-        pltpu.make_async_copy(
-            ref_y.at[ref0, pl.ds(ly0a, LSLAB_R), pl.ds(lx0a, SLAB_L)],
-            slab_y, sem_s.at[0]).start()
-        pltpu.make_async_copy(
-            ref_c.at[ref0, pl.ds(cy0a, CSLAB_R), pl.ds(cx0a, SLAB_L)],
-            slab_c, sem_s.at[1]).start()
+        for cp in slab_copies(m, 0):
+            cp.start()
 
     @pl.when(mode == 2)
     def _():
@@ -402,17 +408,23 @@ def _mc_kernel(s0, s1, s2, blkdata_hbm, vec, ref_y, ref_c,
 
     @pl.when(mode < 2)
     def _():
-        pltpu.make_async_copy(
-            ref_y.at[0, pl.ds(0, LSLAB_R), pl.ds(0, SLAB_L)],
-            slab_y, sem_s.at[0]).wait()
-        pltpu.make_async_copy(
-            ref_c.at[0, pl.ds(0, CSLAB_R), pl.ds(0, SLAB_L)],
-            slab_c, sem_s.at[1]).wait()
+        for cp in slab_copies(m, m % 2):
+            cp.wait()
+
+    @pl.when(m + 1 < NM)
+    def _():
+        @pl.when((s0[m + 1] & 3) < 2)
+        def _():
+            for cp in slab_copies(m + 1, (m + 1) % 2):
+                cp.start()
+
+    @pl.when(mode < 2)
+    def _():
         G = _onehot_cols(dxp, SLAB_L)
-        t1[...] = jnp.dot(slab_y[...].astype(jnp.bfloat16), G,
+        t1[...] = jnp.dot(slab_y[m % 2].astype(jnp.bfloat16), G,
                           preferred_element_type=jnp.float32)
         Gc = _onehot_cols(cxp, SLAB_L)
-        t1c[...] = jnp.dot(slab_c[...].astype(jnp.bfloat16), Gc,
+        t1c[...] = jnp.dot(slab_c[m % 2].astype(jnp.bfloat16), Gc,
                            preferred_element_type=jnp.float32)
 
     @pl.when(mode == 2)
@@ -515,14 +527,14 @@ def mc_predict(ref_y: jnp.ndarray, ref_c: jnp.ndarray, tables,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((LSLAB_R, SLAB_L), jnp.int32),
-            pltpu.VMEM((CSLAB_R, SLAB_L), jnp.int32),
+            pltpu.VMEM((2, LSLAB_R, SLAB_L), jnp.int32),
+            pltpu.VMEM((2, CSLAB_R, SLAB_L), jnp.int32),
             pltpu.VMEM((BSLAB_R, 16 * SLAB_L), jnp.int32),
             pltpu.VMEM((BCSLAB_R, 16 * SLAB_L), jnp.int32),
             pltpu.VMEM((LSLAB_R, SLAB_L), jnp.float32),
             pltpu.VMEM((CSLAB_R, SLAB_L), jnp.float32),
             pltpu.SMEM((1024,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA((16,)),
             pltpu.SemaphoreType.DMA((16,)),
             pltpu.SemaphoreType.DMA(()),
