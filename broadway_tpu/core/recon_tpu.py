@@ -12,9 +12,10 @@ TPU-first dataflow (SURVEY.md §7 Stage B):
     Neighbour MBs (A,B,C,D) of a whole diagonal live at fixed lane
     shifts in rows d-1/d-2/d-3, so the sequential wavefront stages need
     only row dynamic-slices and lane rolls inside lax.scan.
-  - stage 4: intra wavefront scan (table-driven predictors, ops/tpu/intra)
-  - stage 5: deblock wavefront scan (bS/thresholds computed in-scan from
-    packed tensors, edge filters from ops/tpu/deblock)
+  - stages 4/5 (intra prediction, deblocking): Pallas streaming-
+    wavefront kernels (ops/tpu/wavefront_pallas) on TPU; equivalent
+    lax.scan wavefronts (table-driven predictors ops/tpu/intra, edge
+    filters ops/tpu/deblock) as the non-TPU fallback and oracle.
   - unpack once at the end to raster planes.
 
 Reference frames are held device-resident in the MC kernel's plane
