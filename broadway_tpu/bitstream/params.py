@@ -185,15 +185,18 @@ class Sps:
         return 16 * self.height_mbs
 
     def dpb_size(self) -> int:
-        """Frame buffers required by the level (Annex A table A-1), capped
-        at 16; raises on over-level picture sizes like the reference."""
+        """Frame buffers required by the level (Annex A table A-1),
+        capped at 16. For unknown levels or over-level picture sizes the
+        reference warns and falls back to num_ref_frames
+        (h264bsd_seq_param_set.c:306-313) — mirror that."""
         lim = _LEVEL_LIMITS.get(self.level_idc)
-        if lim is None:
-            raise StreamError(f"invalid level_idc {self.level_idc}")
-        max_dpb_bytes, max_mbs = lim
-        if self.pic_size_mbs > max_mbs:
-            raise StreamError("picture larger than level allows")
-        return min(max_dpb_bytes // (self.pic_size_mbs * 384), 16)
+        if lim is not None:
+            max_dpb_bytes, max_mbs = lim
+            if self.pic_size_mbs <= max_mbs:
+                v = min(max_dpb_bytes // (self.pic_size_mbs * 384), 16)
+                if self.num_ref_frames <= v:
+                    return v
+        return max(self.num_ref_frames, 1)
 
 
 def parse_sps(r: BitReader) -> Sps:

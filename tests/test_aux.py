@@ -124,3 +124,16 @@ def test_parallel_slice_parse():
     got = [o.frame.tobytes()
            for o in Decoder(parallel_slices=4).decode_annexb(data)]
     assert got == want
+
+
+def test_over_level_dpb_fallback():
+    """Reference falls back to num_ref_frames when the picture exceeds
+    the level's MaxPicSize (h264bsd_seq_param_set.c:306-313)."""
+    from broadway_tpu.bitstream.params import Sps
+    s = Sps()
+    s.level_idc = 40          # max 8192 MBs
+    s.width_mbs, s.height_mbs = 240, 135   # 4K = 32400 MBs
+    s.num_ref_frames = 3
+    assert s.dpb_size() == 3
+    s.level_idc = 99          # unknown level
+    assert s.dpb_size() == 3
