@@ -23,6 +23,11 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
+# persistent XLA/Mosaic compile cache (compiles are minutes at 1080p)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, "build", "jaxcache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 W_MBS = int(os.environ.get("BENCH_W_MBS", "120"))
 H_MBS = int(os.environ.get("BENCH_H_MBS", "68"))
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
