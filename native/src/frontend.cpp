@@ -18,6 +18,7 @@ typedef int32_t i32;
 typedef uint32_t u32;
 typedef int64_t i64;
 typedef uint8_t u8;
+typedef uint16_t u16;
 
 struct CtEntry { int len; int bits; int to; int tc; };
 struct VlcEntry { int len; int bits; };
@@ -28,51 +29,62 @@ struct VlcEntry { int len; int bits; };
 // bit reader
 // ---------------------------------------------------------------------------
 
+typedef uint64_t u64;
+
 struct BitReader {
     const u8* data;
     i64 nbits;
+    i64 nbytes_;
     i64 pos;
     bool err;
 
     void init(const u8* d, i64 nbytes, i64 start_bit) {
         data = d;
         nbits = nbytes * 8;
+        nbytes_ = nbytes;
         pos = start_bit;
         err = false;
     }
-    u32 u(int n) {
-        if (pos + n > nbits) { err = true; return 0; }
-        u32 v = 0;
-        i64 p = pos;
-        pos += n;
-        for (int i = 0; i < n; i++, p++)
-            v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1);
-        return v;
-    }
-    u32 peek32() {
-        u32 v = 0;
-        i64 p = pos;
-        for (int i = 0; i < 32; i++, p++) {
-            u32 b = (p < nbits) ? ((data[p >> 3] >> (7 - (p & 7))) & 1) : 0;
-            v = (v << 1) | b;
+    // 64 bits of stream starting at bit `pos`, MSB-aligned, zero-padded
+    // past the end; >= 57 valid bits.
+    inline u64 window() const {
+        i64 byte = pos >> 3;
+        u64 w;
+        if (byte + 8 <= nbytes_) {
+            memcpy(&w, data + byte, 8);
+            w = __builtin_bswap64(w);
+        } else {
+            w = 0;
+            for (int i = 0; i < 8; i++)
+                w = (w << 8) |
+                    (byte + i < nbytes_ ? (u64)data[byte + i] : 0);
         }
+        return w << (pos & 7);
+    }
+    inline u32 u(int n) {
+        if (pos + n > nbits) { err = true; return 0; }
+        if (n == 0) return 0;
+        u32 v = (u32)(window() >> (64 - n));
+        pos += n;
         return v;
     }
-    void skip(int n) {
+    inline u32 peek32() { return (u32)(window() >> 32); }
+    inline void skip(int n) {
         if (pos + n > nbits) { err = true; return; }
         pos += n;
     }
     u32 ue() {
-        int lead = 0;
-        while (true) {
-            if (pos >= nbits) { err = true; return 0; }
-            u32 b = u(1);
-            if (err) return 0;
-            if (b) break;
-            lead++;
-            if (lead > 32) { err = true; return 0; }
+        u64 w = window();
+        int lead = (w == 0) ? 64 : __builtin_clzll(w);
+        if (lead > 32 || pos + lead >= nbits) { err = true; return 0; }
+        if (lead == 0) { pos += 1; return 0; }
+        if (lead <= 28) {            // 2*lead+1 <= 57 valid window bits
+            if (pos + 2 * lead + 1 > nbits) { err = true; return 0; }
+            u32 v = (u32)(w >> (63 - 2 * lead)) - 1;
+            pos += 2 * lead + 1;
+            return v;
         }
-        if (lead == 0) return 0;
+        pos += lead + 1;
         u32 tail = u(lead);
         return ((1u << lead) - 1) + tail;
     }
@@ -228,6 +240,55 @@ static int ct_class(int nc) {
     return 3;
 }
 
+// ---------------------------------------------------------------------------
+// first-level VLC lookup tables (built once at dlopen): peek N bits ->
+// {code length, decoded symbol}. Replaces linear scans of the code lists.
+// ---------------------------------------------------------------------------
+
+static u16 g_ct_lut[5][1 << 16];     // (len<<7)|(trailing<<5)|total; 0=miss
+static u8 g_tz4_lut[16][1 << 9];     // (len<<4)|tz; 0=miss
+static u8 g_tzc_lut[4][1 << 3];
+static u8 g_rb_lut[8][1 << 11];      // (len<<4)|run
+
+static void build_luts() {
+    for (int cls = 0; cls < 5; cls++)
+        for (int i = 0; i < kCoeffTokenN[cls]; i++) {
+            const CtEntry& e = kCoeffToken[cls][i];
+            int pad = 16 - e.len;
+            u32 base = (u32)e.bits << pad;
+            u16 packed = (u16)((e.len << 7) | (e.to << 5) | e.tc);
+            for (u32 s = 0; s < (1u << pad); s++)
+                g_ct_lut[cls][base | s] = packed;
+        }
+    for (int total = 1; total < 16; total++)
+        for (int tz = 0; tz < kTotalZeros4x4N[total]; tz++) {
+            const VlcEntry& e = kTotalZeros4x4[total][tz];
+            int pad = 9 - e.len;
+            u32 base = (u32)e.bits << pad;
+            for (u32 s = 0; s < (1u << pad); s++)
+                g_tz4_lut[total][base | s] = (u8)((e.len << 4) | tz);
+        }
+    for (int total = 1; total < 4; total++)
+        for (int tz = 0; tz < kTotalZerosCdcN[total]; tz++) {
+            const VlcEntry& e = kTotalZerosCdc[total][tz];
+            int pad = 3 - e.len;
+            u32 base = (u32)e.bits << pad;
+            for (u32 s = 0; s < (1u << pad); s++)
+                g_tzc_lut[total][base | s] = (u8)((e.len << 4) | tz);
+        }
+    for (int zl = 1; zl < 8; zl++)
+        for (int r = 0; r < kRunBeforeN[zl]; r++) {
+            const VlcEntry& e = kRunBefore[zl][r];
+            if (!e.len) continue;
+            int pad = 11 - e.len;
+            u32 base = (u32)e.bits << pad;
+            for (u32 s = 0; s < (1u << pad); s++)
+                g_rb_lut[zl][base | s] = (u8)((e.len << 4) | r);
+        }
+}
+
+static const bool g_luts_ready = (build_luts(), true);
+
 static bool decode_residual_block(Ctx& c, int nc, int max_coeffs,
                                   i32* coeffs /* [max_coeffs] */,
                                   int* out_tc) {
@@ -235,37 +296,30 @@ static bool decode_residual_block(Ctx& c, int nc, int max_coeffs,
     memset(coeffs, 0, sizeof(i32) * max_coeffs);
     *out_tc = 0;
     int cls = ct_class(nc);
-    u32 bits32 = br.peek32();
-    int trailing = -1, total = -1;
-    const CtEntry* tab = kCoeffToken[cls];
-    int ntab = kCoeffTokenN[cls];
-    for (int i = 0; i < ntab; i++) {
-        int ln = tab[i].len;
-        if ((bits32 >> (32 - ln)) == (u32)tab[i].bits) {
-            trailing = tab[i].to;
-            total = tab[i].tc;
-            br.skip(ln);
-            break;
-        }
-    }
-    if (total < 0) return false;
+    u16 ctp = g_ct_lut[cls][br.peek32() >> 16];
+    if (!ctp) return false;
+    int trailing = (ctp >> 5) & 3;
+    int total = ctp & 31;
+    br.skip(ctp >> 7);
+    if (br.err) return false;
     if (total == 0) return true;
     if (total > max_coeffs) return false;
 
     i32 levels[16];
-    for (int k = 0; k < trailing; k++)
-        levels[k] = br.u(1) ? -1 : 1;
+    if (trailing) {
+        u32 sign = br.u(trailing);
+        if (br.err) return false;
+        for (int k = 0; k < trailing; k++)
+            levels[k] = (sign >> (trailing - 1 - k)) & 1 ? -1 : 1;
+    }
 
     int suffix_length = (total > 10 && trailing < 3) ? 1 : 0;
     for (int i = 0; i < total - trailing; i++) {
-        int prefix = 0;
-        while (true) {
-            u32 b = br.u(1);
-            if (br.err) return false;
-            if (b) break;
-            prefix++;
-            if (prefix > 15) return false;
-        }
+        u64 w = br.window();
+        int prefix = (w == 0) ? 64 : __builtin_clzll(w);
+        if (prefix > 15) return false;
+        br.skip(prefix + 1);
+        if (br.err) return false;
         i32 level_code;
         if (suffix_length == 0) {
             if (prefix < 14) level_code = prefix;
@@ -291,41 +345,15 @@ static bool decode_residual_block(Ctx& c, int nc, int max_coeffs,
 
     int total_zeros = 0;
     if (total < max_coeffs) {
-        u32 b32 = br.peek32();
-        int found = -1;
-        if (max_coeffs == 4) {
-            const VlcEntry* row = kTotalZerosCdc[total];
-            int nrow = kTotalZerosCdcN[total];
-            for (int tz = 0; tz < nrow; tz++) {
-                int ln = row[tz].len;
-                if (ln && (b32 >> (32 - ln)) == (u32)row[tz].bits) {
-                    // need longest-prefix semantics: codes are prefix-free,
-                    // but rows may share prefixes across lengths; walk by
-                    // increasing length below instead
-                }
-            }
-            for (int ln = 1; ln <= 9 && found < 0; ln++)
-                for (int tz = 0; tz < nrow; tz++)
-                    if (row[tz].len == ln &&
-                        (b32 >> (32 - ln)) == (u32)row[tz].bits) {
-                        found = tz;
-                        br.skip(ln);
-                        break;
-                    }
-        } else {
-            const VlcEntry* row = kTotalZeros4x4[total];
-            int nrow = kTotalZeros4x4N[total];
-            for (int ln = 1; ln <= 9 && found < 0; ln++)
-                for (int tz = 0; tz < nrow; tz++)
-                    if (row[tz].len == ln &&
-                        (b32 >> (32 - ln)) == (u32)row[tz].bits) {
-                        found = tz;
-                        br.skip(ln);
-                        break;
-                    }
-        }
-        if (found < 0) return false;
-        total_zeros = found;
+        u8 e;
+        if (max_coeffs == 4)
+            e = g_tzc_lut[total][br.peek32() >> 29];
+        else
+            e = g_tz4_lut[total][br.peek32() >> 23];
+        if (!e) return false;
+        br.skip(e >> 4);
+        if (br.err) return false;
+        total_zeros = e & 15;
     }
 
     int runs[16];
@@ -334,20 +362,11 @@ static bool decode_residual_block(Ctx& c, int nc, int max_coeffs,
         int run = 0;
         if (zeros_left > 0) {
             int zl = zeros_left < 7 ? zeros_left : 7;
-            const VlcEntry* row = kRunBefore[zl];
-            int nrow = kRunBeforeN[zl];
-            u32 b32 = br.peek32();
-            int found = -1;
-            for (int ln = 1; ln <= 11 && found < 0; ln++)
-                for (int r = 0; r < nrow; r++)
-                    if (row[r].len == ln &&
-                        (b32 >> (32 - ln)) == (u32)row[r].bits) {
-                        found = r;
-                        br.skip(ln);
-                        break;
-                    }
-            if (found < 0) return false;
-            run = found;
+            u8 e = g_rb_lut[zl][br.peek32() >> 21];
+            if (!e) return false;
+            br.skip(e >> 4);
+            if (br.err) return false;
+            run = e & 15;
             if (run > zeros_left) return false;
         }
         runs[i] = run;
