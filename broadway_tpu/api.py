@@ -69,12 +69,19 @@ class H264Decoder:
 
     def __init__(self, no_output_reordering: bool = False,
                  backend: str = "cpu", evaluation_limit: int = 0,
-                 trace=None) -> None:
+                 trace=None, streaming: bool = False) -> None:
         """evaluation_limit: picture cap after which decode() returns
         EVALUATION_LIMIT_EXCEEDED (the reference's H264DEC_EVALUATION
         build, 500 frames, H264SwDecApi.c:74-76); 0 = unlimited.
         trace: optional callable(str) receiving API-call trace lines
-        (the reference's H264SwDecTrace hook, H264SwDecApi.c:67-72)."""
+        (the reference's H264SwDecTrace hook, H264SwDecApi.c:67-72).
+        streaming: decode() buffers may end mid-NAL (e.g. network
+        chunks); the trailing unterminated NAL — whose end is
+        unknowable until the next start code — is carried internally
+        across calls and decoded when completed (or at flush). The
+        reference treats end-of-buffer as end-of-NAL
+        (h264bsd_byte_stream.c:162-166), so its callers must feed whole
+        NALs; this mode lifts that restriction."""
         self._core = _Core(no_reordering=no_output_reordering,
                            backend=backend)
         self._pending = []     # drained display-order outputs
@@ -83,6 +90,8 @@ class H264Decoder:
         self._eval_limit = evaluation_limit
         self._pic_count = 0
         self._trace = trace
+        self._streaming = streaming
+        self._carry = b""
 
     def _trc(self, msg: str) -> None:
         if self._trace is not None:
@@ -90,18 +99,48 @@ class H264Decoder:
 
     # ------------------------------------------------------------------
     def decode(self, data: bytes, pic_id: int = 0,
-               nal_unit_stream: bool = False):
+               nal_unit_stream: bool = False,
+               intra_conceal_from_ref: bool = False):
         """Consume NALs from `data`; returns (DecRet, bytes_consumed).
 
         Stops at picture / headers boundaries like the reference so the
         caller can interleave next_picture() calls.
+
+        intra_conceal_from_ref mirrors the reference's per-Decode-call
+        intraConcealmentMethod (H264SwDecApi.h:82-83): conceal errors in
+        intra pictures from the previous reference picture instead of
+        gray DC interpolation.
         """
         self._trc(f"H264SwDecDecode# dataLen {len(data)} picId {pic_id}")
         if not data:
             return DecRet.PARAM_ERR, 0
         if self._eval_limit and self._pic_count >= self._eval_limit:
             return DecRet.EVALUATION_LIMIT_EXCEEDED, 0
+        self._core.intra_conceal_from_ref = intra_conceal_from_ref
         self._pic_id = pic_id
+        if self._streaming and not nal_unit_stream:
+            consumed_in = len(data)
+            data = self._carry + data
+            self._carry = b""
+            # hold back the trailing NAL: its end is unknowable until
+            # the next start code arrives in a later call
+            cut = data.rfind(b"\x00\x00\x01")
+            if cut >= 0:
+                while cut > 0 and data[cut - 1] == 0:
+                    cut -= 1
+            if cut <= 0:
+                self._carry = data
+                return DecRet.STRM_PROCESSED, consumed_in
+            tail = data[cut:]
+            ret, used = self._decode_nals(data[:cut])
+            # anything not yet processed stays buffered internally
+            self._carry = data[used:cut] + tail
+            return ret, consumed_in
+        return self._decode_nals(data, nal_unit_stream)
+
+    def _decode_nals(self, data: bytes, nal_unit_stream: bool = False):
+        if not data:
+            return DecRet.STRM_PROCESSED, 0
         if nal_unit_stream:
             nals = [(0, data)]
             end = len(data)
@@ -160,6 +199,15 @@ class H264Decoder:
         self._trc(f"H264SwDecNextPicture# flush {int(flush)}")
         """Display-order output; flush=True drains buffered pictures at
         end of stream (H264SwDecNextPicture semantics)."""
+        if flush and self._carry:
+            # end of stream: the carried tail NAL is now complete
+            tail, self._carry = self._carry, b""
+            while tail:
+                _, used = self._decode_nals(tail)
+                self._drain()
+                if used <= 0:
+                    break
+                tail = tail[used:]
         if flush and not self._pending:
             self._core.flush()
             self._drain()

@@ -68,6 +68,14 @@ def _load():
         ct.c_char_p, ct.c_int64, ct.c_int64, ct.POINTER(_SliceInfo),
         ct.c_void_p, ct.c_void_p, ct.POINTER(_PicBuffers),
         ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int64)]
+    try:
+        lib.bw_pack_picture.restype = ct.c_int
+        lib.bw_pack_picture.argtypes = [
+            ct.POINTER(_PicBuffers), ct.c_int32, ct.c_void_p, ct.c_int32,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.POINTER(ct.c_int32)]
+    except AttributeError:
+        pass   # stale .so without the packer; pack path stays off
     _lib = lib
     return lib
 
@@ -86,6 +94,61 @@ def append_slice_params(pic: PictureData, header: SliceHeader,
         beta_offset=header.beta_offset,
         ref_slots=list(ref_slots)))
     assert len(pic.slice_params) == slice_id + 1
+
+
+def _pic_buffers(pic: PictureData, parser: Optional[MbParser] = None
+                 ) -> _PicBuffers:
+    pb = _PicBuffers()
+    pb.mb_class = _ptr(pic.mb_class)
+    pb.skip = _ptr(pic.skip)
+    pb.qp = _ptr(pic.qp)
+    pb.cbp = _ptr(pic.cbp)
+    pb.i16_mode = _ptr(pic.i16_mode)
+    pb.chroma_mode = _ptr(pic.chroma_mode)
+    pb.i4_modes = _ptr(pic.i4_modes)
+    pb.luma_coeffs = _ptr(pic.luma_coeffs)
+    pb.luma_dc = _ptr(pic.luma_dc)
+    pb.chroma_dc = _ptr(pic.chroma_dc)
+    pb.chroma_ac = _ptr(pic.chroma_ac)
+    pb.total_coeff = _ptr(pic.total_coeff)
+    pb.chroma_total_coeff = _ptr(pic.chroma_total_coeff)
+    pb.mv = _ptr(pic.mv)
+    pb.ref_idx = _ptr(pic.ref_idx)
+    pb.ref_slot = _ptr(pic.ref_slot)
+    pb.ipcm = _ptr(pic.ipcm)
+    pb.slice_id = _ptr(pic.slice_id)
+    pb.decoded = _ptr(pic.decoded)
+    if parser is not None:
+        pb.mv_grid = _ptr(parser.mv_grid)
+        pb.ref_grid = _ptr(parser.ref_grid)
+        pb.tc_grid = _ptr(parser.tc_grid)
+        pb.ctc_grid = _ptr(parser.ctc_grid)
+        pb.i4_grid = _ptr(parser.i4_grid)
+    return pb
+
+
+def pack_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "bw_pack_picture")
+
+
+def pack_picture_native(pic: PictureData, base, idx, val) -> int:
+    """Fill the packed upload buffer sections + sparse coefficient rows
+    (core/packed.py layout) from a fully-decoded PictureData. Returns
+    the number of sparse rows written."""
+    import numpy as np
+    lib = _load()
+    assert lib is not None
+    pb = _pic_buffers(pic)
+    sp = np.array([[p.disable_deblocking_idc, p.alpha_c0_offset,
+                    p.beta_offset] for p in pic.slice_params] or [[0, 0, 0]],
+                  np.int32)
+    k = ct.c_int32(0)
+    ret = lib.bw_pack_picture(ct.byref(pb), pic.n_mbs, _ptr(sp), len(sp),
+                              _ptr(base), _ptr(idx), _ptr(val),
+                              ct.byref(k))
+    assert ret == 0
+    return int(k.value)
 
 
 def decode_slice_data_native(rbsp: bytes, bit_pos: int, pic: PictureData,
@@ -111,31 +174,7 @@ def decode_slice_data_native(rbsp: bytes, bit_pos: int, pic: PictureData,
         slice_id=slice_id,
         constrained_intra=int(parser.constrained_intra))
 
-    pb = _PicBuffers()
-    pb.mb_class = _ptr(pic.mb_class)
-    pb.skip = _ptr(pic.skip)
-    pb.qp = _ptr(pic.qp)
-    pb.cbp = _ptr(pic.cbp)
-    pb.i16_mode = _ptr(pic.i16_mode)
-    pb.chroma_mode = _ptr(pic.chroma_mode)
-    pb.i4_modes = _ptr(pic.i4_modes)
-    pb.luma_coeffs = _ptr(pic.luma_coeffs)
-    pb.luma_dc = _ptr(pic.luma_dc)
-    pb.chroma_dc = _ptr(pic.chroma_dc)
-    pb.chroma_ac = _ptr(pic.chroma_ac)
-    pb.total_coeff = _ptr(pic.total_coeff)
-    pb.chroma_total_coeff = _ptr(pic.chroma_total_coeff)
-    pb.mv = _ptr(pic.mv)
-    pb.ref_idx = _ptr(pic.ref_idx)
-    pb.ref_slot = _ptr(pic.ref_slot)
-    pb.ipcm = _ptr(pic.ipcm)
-    pb.slice_id = _ptr(pic.slice_id)
-    pb.decoded = _ptr(pic.decoded)
-    pb.mv_grid = _ptr(parser.mv_grid)
-    pb.ref_grid = _ptr(parser.ref_grid)
-    pb.tc_grid = _ptr(parser.tc_grid)
-    pb.ctc_grid = _ptr(parser.ctc_grid)
-    pb.i4_grid = _ptr(parser.i4_grid)
+    pb = _pic_buffers(pic, parser)
 
     sg = np.ascontiguousarray(sg_map, np.int32)
     rs = np.ascontiguousarray(

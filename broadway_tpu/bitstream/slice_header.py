@@ -53,6 +53,7 @@ class SliceHeader:
     beta_offset: int = 0
     slice_group_change_cycle: int = 0
     nal_ref_idc: int = 0
+    redundant_pic_cnt: int = 0
 
 
 def _ceil_log2(x: int) -> int:
@@ -94,8 +95,12 @@ def parse_slice_header(r: BitReader, nal_type: int, nal_ref_idc: int,
         redundant = r.ue()
         if redundant > 127:
             raise StreamError("redundant_pic_cnt out of range")
-        if redundant:
-            raise StreamError("redundant slices not handled in this layer")
+        # redundant slices are legal: the caller skips them when the
+        # primary picture is (partially) decoded, or decodes them as the
+        # fallback when the primary was lost entirely — the subset of
+        # h264bsd_slice_data.c:133-139 / h264bsd_decoder.c:318 fallback
+        # behavior expressible in the dense-tensor IR
+        h.redundant_pic_cnt = redundant
     h.num_ref_idx_l0 = pps.num_ref_idx_l0
     if h.slice_type == P_SLICE:
         if r.flag():  # num_ref_idx_active_override

@@ -64,19 +64,25 @@ class Decoder:
 
     def __init__(self, no_reordering: bool = False,
                  backend: str = "cpu", frontend: str = "auto",
-                 parallel_slices: int = 0) -> None:
+                 parallel_slices: int = 0, recon_strategy=None) -> None:
         # frontend: "auto" (native C++ if built), "native", "python"
         # parallel_slices: >1 = parse a picture's slices concurrently on
         # a thread pool (the TPU-host analogue of Broadway's sliceMode
         # multi-worker CAVLC, Decoder.js:268-341; the native parser
         # releases the GIL). Slice parsing is deferred to the picture
         # boundary, like the reference's AU-boundary end-of-pic test.
+        # recon_strategy: optional callable(decoder, pic) -> frame that
+        # replaces the built-in pixel backend for error-free pictures
+        # (used by parallel/slices.py band sharding and by tools that
+        # only need the parsed tensors). DPB/POC/output bookkeeping is
+        # unchanged — only the reconstruction is delegated.
         import os as _os
         env_fe = _os.environ.get("BW_FRONTEND")
         if env_fe:
             frontend = env_fe
         self.frontend = frontend
         self.parallel_slices = parallel_slices
+        self.recon_strategy = recon_strategy
         self._deferred = []
         self._executor = None
         if parallel_slices > 1:
@@ -102,6 +108,13 @@ class Decoder:
         self.slice_count = 0
         self.pic_number = 0
         self.headers_ready = False
+        # per-Decode-call concealment policy (H264SwDecApi.h:82-83
+        # intraConcealmentMethod): conceal intra pictures from the
+        # previous reference instead of gray
+        self.intra_conceal_from_ref = False
+        # picture of the current AU finished -> later redundant slices
+        # are unnecessary (h264bsd_decoder.c:275/475 skipRedundantSlices)
+        self.skip_redundant = False
 
     # ------------------------------------------------------------------
     def decode_annexb(self, data: bytes, flush: bool = True
@@ -256,10 +269,12 @@ class Decoder:
         nal_rbsp = nal.rbsp
         r = BitReader(nal.rbsp)
         new_au = self._check_au_boundary(nal, r)
-        if new_au and self.pic is not None:
-            if self._deferred:
-                self._run_deferred()
-            self._finish_picture(concealed=True)
+        if new_au:
+            self.skip_redundant = False
+            if self.pic is not None:
+                if self._deferred:
+                    self._run_deferred()
+                self._finish_picture(concealed=True)
 
         # activation happens on the first slice of the picture
         pos = r.pos
@@ -274,6 +289,15 @@ class Decoder:
 
         header = parse_slice_header(r, nal.nal_type, nal.ref_idc,
                                     self.sps, self.pps)
+
+        if header.redundant_pic_cnt and (self.pic is not None
+                                         or self.skip_redundant):
+            # primary picture present (or already finished) in this AU
+            # -> redundant slice is not needed (h264bsd_decoder.c:319
+            # skipRedundantSlices / slice_data decoded-flag dedup). Only
+            # when the primary was lost entirely does the redundant
+            # slice decode below as the fallback picture.
+            return
 
         if self.pic is None:
             self._start_picture(header)
@@ -291,8 +315,7 @@ class Decoder:
                     raise StreamError("ref list shorter than active refs")
                 # non-existing (frame-gap) refs: any MB using them errors
                 # like the reference's NULL refAddr (concealment path)
-                ref_slots.append(-2 if p.non_existing
-                                 else self.dpb.buffer.index(p))
+                ref_slots.append(-2 if p.non_existing else p.slot)
 
         sg_map = build_slice_group_map(self.sps, self.pps,
                                        header.slice_group_change_cycle)
@@ -350,15 +373,18 @@ class Decoder:
         pic, header = self.pic, self.pic_header
         sps, pps = self.sps, self.pps
         self.pic, self.pic_header = None, None
+        self.skip_redundant = True
 
         num_err = pic.n_mbs - int(pic.decoded.sum())
         if num_err:
             frame = self._reconstruct_concealed(pic, num_err)
             num_err = int(pic.concealed.sum())
+        elif self.recon_strategy is not None:
+            frame = self.recon_strategy(self, pic)
         elif self.backend == "tpu":
             frame = self._reconstruct_tpu(pic)
         else:
-            ref_frames = {i: p.frame for i, p in enumerate(self.dpb.buffer)
+            ref_frames = {p.slot: p.frame for p in self.dpb.buffer
                           if p.frame is not None}
             frame = reconstruct_picture(pic, pps.chroma_qp_index_offset,
                                         pps.constrained_intra_pred,
@@ -404,12 +430,16 @@ class Decoder:
         """Error path: CPU reconstruction of the decoded MBs, then
         concealment + deblocking (h264bsdConceal semantics)."""
         sps, pps = self.sps, self.pps
-        ref_frames = {i: self._cpu_frame(p.frame)
-                      for i, p in enumerate(self.dpb.buffer)
+        ref_frames = {p.slot: self._cpu_frame(p.frame)
+                      for p in self.dpb.buffer
                       if p.frame is not None}
         frame = reconstruct_picture(pic, pps.chroma_qp_index_offset,
                                     pps.constrained_intra_pred, ref_frames,
                                     sps.width, sps.height)
+        # lowest-index reference for whole/inter concealment; the
+        # reference's list is freshly initialized for every slice
+        # (h264bsd_decoder.c:256/445), so rebuild it here
+        self.dpb.init_ref_pic_list()
         ref0 = None
         for i in range(16):
             f = self.dpb.ref_frame(i)
@@ -418,19 +448,58 @@ class Decoder:
                 break
         stype = self.last_header.slice_type if \
             getattr(self, "last_header", None) else I_SLICE
-        conceal_picture(pic, frame, stype, ref0)
+        conceal_picture(pic, frame, stype, ref0,
+                        self.intra_conceal_from_ref)
         deblock_mod.filter_picture(frame, pic, pps.chroma_qp_index_offset)
         if self.backend == "tpu":
             import jax.numpy as jnp
-            from .recon_tpu import TpuFrame
-            frame = TpuFrame(jnp.asarray(frame.y.astype("int32")),
-                             jnp.asarray(frame.cb.astype("int32")),
-                             jnp.asarray(frame.cr.astype("int32")))
+
+            from . import recon_tpu as RT
+            y = jnp.asarray(frame.y.astype("int32"))
+            cb = jnp.asarray(frame.cb.astype("int32"))
+            cr = jnp.asarray(frame.cr.astype("int32"))
+            if getattr(self, "_dstack_key", None) is not None:
+                # packed fast path active: keep device stacks coherent
+                self._stack_y, self._stack_c = RT.update_stack_slot(
+                    self._stack_y, self._stack_c,
+                    self.dpb.current.slot, y, cb, cr)
+                frame = RT.TpuFrame(y, cb, cr, pad=False)
+            else:
+                frame = RT.TpuFrame(y, cb, cr)
         return frame
+
+    def _ensure_stacks(self) -> None:
+        """(Re)create the persistent device ref-plane stacks for the
+        active sequence, seeding from any DPB frames already present
+        (load_state / concealed-first-picture paths)."""
+        import jax.numpy as jnp
+
+        from . import recon_tpu as RT
+        from ..ops.tpu import mc_pallas as K_mcp
+
+        sps = self.sps
+        R = self.dpb.dpb_size + 1
+        key = (sps.width_mbs, sps.height_mbs, R)
+        if getattr(self, "_dstack_key", None) == key:
+            return
+        hy, wy = K_mcp.luma_ext_dims(sps.width, sps.height)
+        hc, wc = K_mcp.chroma_ext_dims(sps.width, sps.height)
+        self._stack_y = jnp.zeros((R, hy, wy), jnp.int32)
+        self._stack_c = jnp.zeros((R, hc, wc), jnp.int32)
+        self._dstack_key = key
+        for p in self.dpb.buffer:
+            if p.frame is not None and not p.non_existing \
+                    and p is not self.dpb.current:
+                self._stack_y, self._stack_c = RT.update_stack_slot(
+                    self._stack_y, self._stack_c, p.slot,
+                    p.frame.y, p.frame.cb, p.frame.cr)
 
     def _reconstruct_tpu(self, pic: PictureData):
         """Whole-picture reconstruction on the jitted TPU pipeline
         (core/recon_tpu.py)."""
+        import os
+
+        import jax
         import jax.numpy as jnp
 
         from . import recon_tpu as RT
@@ -442,6 +511,30 @@ class Decoder:
             self._steps = {k: jnp.asarray(v)
                            for k, v in RT.step_tables(w, h).items()}
             self._steps_key = key
+        be = RT.default_mc_backend()
+        wf = os.environ.get("BROADWAY_WF", be)
+
+        from ..bitstream import native as nat
+        if nat.pack_available() and not os.environ.get("BW_NO_PACK"):
+            # fast path: ONE packed upload, persistent device DPB stacks
+            # updated in place inside a single jit call per picture
+            from . import packed as PK
+            lay = PK.get_packed_layout(w, h)
+            if getattr(self, "_pack_scratch", None) is None or \
+                    self._pack_scratch.lay is not lay:
+                self._pack_scratch = PK.PackScratch(lay)
+            self._ensure_stacks()
+            buf, kb = PK.pack_picture(pic, lay, self._pack_scratch)
+            dbuf = jax.device_put(buf)
+            slot = self.dpb.current.slot
+            y, cb, cr, self._stack_y, self._stack_c = \
+                RT.decode_picture_packed(
+                    dbuf, self._stack_y, self._stack_c, slot, self._steps,
+                    lay=lay, kb=kb,
+                    constrained_intra=pps.constrained_intra_pred,
+                    chroma_qp_offset=pps.chroma_qp_index_offset,
+                    mc=be, wf=wf)
+            return RT.TpuFrame(y, cb, cr, pad=False)
 
         arrs = RT.host_picture_arrays(pic, pps.chroma_qp_index_offset,
                                       pps.constrained_intra_pred)
@@ -449,13 +542,11 @@ class Decoder:
 
         ref_y, ref_c = RT.ref_stacks(self.dpb.buffer, sps.width,
                                      sps.height)
-        import os
-        be = RT.default_mc_backend()
         y, cb, cr = RT.decode_picture(
             arrs, ref_y, ref_c, self._steps,
             w_mbs=w, h_mbs=h,
             chroma_qp_offset=pps.chroma_qp_index_offset,
-            mc=be, wf=os.environ.get("BROADWAY_WF", be))
+            mc=be, wf=wf)
         return RT.TpuFrame(y, cb, cr)
 
     def _drain(self) -> None:
@@ -500,7 +591,7 @@ class Decoder:
                 f = {k: getattr(p, k) for k in
                      ("status", "frame_num", "pic_num", "poc",
                       "to_be_displayed", "is_idr", "pic_id",
-                      "num_err_mbs", "non_existing")}
+                      "num_err_mbs", "non_existing", "slot")}
                 f["planes"] = planes(p.frame)
                 pics.append(f)
             idx = {id(p): i for i, p in enumerate(d.buffer)}
@@ -535,6 +626,7 @@ class Decoder:
         self.headers_ready = st["headers_ready"]
         self.outputs = []
         self.pic = self.pic_header = None
+        self._dstack_key = None       # device stacks rebuilt on demand
         sd = st["dpb"]
         if sd is None:
             self.dpb = None
@@ -568,6 +660,9 @@ class Decoder:
                     fr.y, fr.cb, fr.cr = y, cb, cr
                     p.frame = fr
             d.buffer.append(p)
+        if any(p.slot < 0 for p in d.buffer):   # pre-slot checkpoints
+            for i, p in enumerate(d.buffer):
+                p.slot = i
         d.list = [None] * 33
         d.out = [d.buffer[i] for i in sd["out"]]
         d.current = (d.buffer[sd["current"]]

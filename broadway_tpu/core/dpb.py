@@ -33,6 +33,9 @@ class DpbPicture:
     pic_id: int = 0
     num_err_mbs: int = 0
     non_existing: bool = False
+    # stable frame-store index: survives the buffer-order sorts and maps
+    # this store to its row in the device-resident ref-plane stacks
+    slot: int = -1
 
     @property
     def is_ref(self) -> bool:
@@ -60,8 +63,8 @@ class Dpb:
         self.dpb_size = self.max_ref_frames if no_reordering else dpb_size
         self.max_frame_num = max_frame_num
         self.no_reordering = no_reordering
-        self.buffer: List[DpbPicture] = [DpbPicture()
-                                         for _ in range(self.dpb_size + 1)]
+        self.buffer: List[DpbPicture] = [DpbPicture(slot=i)
+                                         for i in range(self.dpb_size + 1)]
         self.list: List[Optional[DpbPicture]] = [None] * 33
         self.out: List[DpbPicture] = []   # display-order output queue
         self.fullness = 0
@@ -80,7 +83,7 @@ class Dpb:
         decoded (h264bsdAllocateDpbImage :877)."""
         cur = self.buffer[self.dpb_size]
         assert not cur.to_be_displayed and not cur.is_ref
-        cur.__init__()
+        cur.__init__(slot=cur.slot)
         self.current = cur
         return cur
 
@@ -287,7 +290,7 @@ class Dpb:
                     break
             slot = self.buffer[self.dpb_size]
             assert not slot.to_be_displayed and not slot.is_ref
-            slot.__init__()
+            slot.__init__(slot=slot.slot)
             slot.status = SHORT_TERM
             slot.non_existing = True
             slot.frame_num = unused

@@ -388,12 +388,13 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
     elif mc == "precomputed":      # batched path: MC ran pre-vmap
         pred_y = arrs["mc_pred_y"]
         pred_c = arrs["mc_pred_c"]
-    elif mc == "pallas":
+    elif mc in ("pallas", "pallas_interp"):
         tabs = K_mcp.mc_tables_dev(
             arrs["mv"], arrs["ref_blk"], w_mbs * 16,
             (ref_h_mbs or h_mbs) * 16, mb0=mb0,
             n_ref=ref_y.shape[0] // batch, batch=batch)
-        pred_y, pred_c = K_mcp.mc_predict(ref_y, ref_c, tabs)
+        pred_y, pred_c = K_mcp.mc_predict(ref_y, ref_c, tabs,
+                                          interpret=mc == "pallas_interp")
     else:
         pred_y, pred_c = mc_predict_xla(ref_y, ref_c, arrs["mv"],
                                         arrs["ref_blk"], w_mbs,
@@ -416,7 +417,8 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                                   jnp.clip(pred_cr + res_cr_mb, 0, 255), 0))
 
     # ---- Pallas wavefront path: intra + deblock kernels ----------------
-    if wf == "pallas":
+    if wf in ("pallas", "pallas_interp"):
+        interp = wf == "pallas_interp"
         from ..ops.tpu import wavefront_pallas as K_wf
         pk = lambda a: lay.pack_dev(a, batch)
         Yf = pk(base_y.reshape(N, 256))
@@ -443,14 +445,16 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
         RCf = pk(jnp.concatenate([res_cb_mb.reshape(N, 64),
                                   res_cr_mb.reshape(N, 64)], axis=1))
         Pin = K_wf.intra_params(arrs, pk)
-        Yf, Cf = K_wf.intra_wavefront(Yf, Cf, RYf, RCf, Pin)
+        Yf, Cf = K_wf.intra_wavefront(Yf, Cf, RYf, RCf, Pin,
+                                      interpret=interp)
         if run_stages <= 2:
             return unpack(Yf, Cf)
         P_db = K_wf.deblock_params(arrs, w_mbs, batch * h_mbs,
                                    chroma_qp_offset, pk)
 
         def run_db(args):
-            o = K_wf.deblock_wavefront(args[0], args[1], P_db)
+            o = K_wf.deblock_wavefront(args[0], args[1], P_db,
+                                       interpret=interp)
             return o[0], o[1]
 
         if batch == 1:
@@ -833,15 +837,54 @@ decode_picture = functools.partial(
                                   decode_picture_impl)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def update_stack_slot(ref_y, ref_c, slot, y, cb, cr):
+    """Write one decoded frame into the persistent device ref-plane
+    stacks (MC kernel plane format) at its DPB frame-store slot."""
+    ref_y = jax.lax.dynamic_update_index_in_dim(
+        ref_y, K_mcp.pad_luma(y), slot, axis=0)
+    ref_c = jax.lax.dynamic_update_index_in_dim(
+        ref_c, K_mcp.pad_chroma(cb, cr), slot, axis=0)
+    return ref_y, ref_c
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lay", "kb", "constrained_intra", "chroma_qp_offset",
+                     "mc", "wf"),
+    donate_argnums=(1, 2))
+def decode_picture_packed(buf, ref_y, ref_c, slot, steps, *,
+                          lay, kb: int, constrained_intra: bool,
+                          chroma_qp_offset: int, mc: str, wf: str):
+    """End-to-end fast path: single packed upload in, persistent DPB
+    ref-plane stacks updated in place (donated), decoded planes out.
+    One jit call per picture — no other per-frame device traffic."""
+    from .packed import unpack_arrs
+    arrs = unpack_arrs(buf, lay, kb, constrained_intra, chroma_qp_offset)
+    y, cb, cr = decode_picture_impl(
+        arrs, ref_y, ref_c, steps, w_mbs=lay.w, h_mbs=lay.h,
+        chroma_qp_offset=chroma_qp_offset, mc=mc, wf=wf)
+    ref_y = jax.lax.dynamic_update_index_in_dim(
+        ref_y, K_mcp.pad_luma(y), slot, axis=0)
+    ref_c = jax.lax.dynamic_update_index_in_dim(
+        ref_c, K_mcp.pad_chroma(cb, cr), slot, axis=0)
+    return y, cb, cr, ref_y, ref_c
+
+
 def ref_stacks(dpb_buffer, width: int, height: int):
     """Build device ref-plane stacks [R,...] from a DPB buffer of
-    TpuFrames (None slots -> zero planes) in the MC kernel format."""
+    TpuFrames (None slots -> zero planes) in the MC kernel format.
+    Stack position = the picture's stable frame-store slot (pic.ref_slot
+    values refer to these)."""
     hy, wy = K_mcp.luma_ext_dims(width, height)
     hc, wc = K_mcp.chroma_ext_dims(width, height)
     zero_y = jnp.zeros((hy, wy), jnp.int32)
     zero_c = jnp.zeros((hc, wc), jnp.int32)
+    buf = list(dpb_buffer)
+    if all(getattr(p, "slot", -1) >= 0 for p in buf):
+        buf.sort(key=lambda p: p.slot)
     ys, cs = [], []
-    for p in dpb_buffer:
+    for p in buf:
         f = p.frame
         ys.append(f.y_pad if f is not None else zero_y)
         cs.append(f.c_pad if f is not None else zero_c)

@@ -404,10 +404,11 @@ def deblock_params(arrs, w_mbs: int, h_mbs: int, chroma_qp_offset: int,
     return pk(P)
 
 
-@jax.jit
-def deblock_wavefront(Y, C, P):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def deblock_wavefront(Y, C, P, interpret: bool = False):
     """Y [S,LS,256] i32, C [S,LS,128] i32, P [S,LS,256] i32 ->
-    filtered (Y', C')."""
+    filtered (Y', C'). interpret=True runs the kernel in the Pallas
+    interpreter (CPU CI coverage of the kernel body)."""
     S, LS = Y.shape[0], Y.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -430,6 +431,7 @@ def deblock_wavefront(Y, C, P):
         out_shape=[jax.ShapeDtypeStruct((S, LS, 256), jnp.int32),
                    jax.ShapeDtypeStruct((S, LS, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(jnp.asarray(_MT16, jnp.bfloat16), jnp.asarray(_MT8, jnp.bfloat16),
       Y, C, P)
 
@@ -716,8 +718,8 @@ def _intra_kernel(M16, M8, MP16, W4, RND, SHF, Y, C, RY, RC, P,
     o_y.wait(); o_c.wait()
 
 
-@jax.jit
-def intra_wavefront(Y, C, RY, RC, P):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def intra_wavefront(Y, C, RY, RC, P, interpret: bool = False):
     """Y [S,LS,256], C [S,LS,128], RY [S,LS,256], RC [S,LS,128],
     P [S,LS,128] -> intra-reconstructed (Y', C')."""
     S, LS = Y.shape[0], Y.shape[1]
@@ -742,6 +744,7 @@ def intra_wavefront(Y, C, RY, RC, P):
         out_shape=[jax.ShapeDtypeStruct((S, LS, 256), jnp.int32),
                    jax.ShapeDtypeStruct((S, LS, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
     )(jnp.asarray(_MT16, jnp.bfloat16), jnp.asarray(_MT8, jnp.bfloat16),
       jnp.asarray(_MP16, jnp.bfloat16), jnp.asarray(_W4, jnp.bfloat16),
       jnp.asarray(_RND4), jnp.asarray(_SHF4), Y, C, RY, RC, P)

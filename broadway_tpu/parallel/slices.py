@@ -85,20 +85,15 @@ def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
                          backend_decoder=None) -> List[bytes]:
     """End-to-end band-sharded decode of an Annex-B stream on `mesh`.
     Returns display-order YUV bytes. Host front-end parses; the pixel
-    pipeline runs sharded; DPB frames stay replicated device arrays."""
+    pipeline runs sharded via the decoder's recon_strategy hook; DPB
+    frames stay replicated device arrays. Pictures with errors fall
+    back to the built-in concealment path automatically."""
     import broadway_tpu.core.decoder as DEC
 
-    dec = DEC.Decoder(backend="cpu")  # front-end + DPB bookkeeping
     decoder_fn = {}
 
-    orig_finish = DEC.Decoder._finish_picture
-
-    def finish_sliced(self, concealed):
-        pic = self.pic
+    def sliced_recon(self, pic):
         sps, pps = self.sps, self.pps
-        num_err = pic.n_mbs - int(pic.decoded.sum())
-        if num_err:
-            return orig_finish(self, concealed)
         w, h = sps.width_mbs, sps.height_mbs
         key = (w, h)
         if key not in decoder_fn:
@@ -112,36 +107,8 @@ def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
         ref_y, ref_c = RT.ref_stacks(self.dpb.buffer, sps.width,
                                      sps.height)
         y, cb, cr = decoder_fn[key](barrs, ref_y, ref_c, steps)
-        frame = RT.TpuFrame(y, cb, cr)
-        # reuse the normal DPB/POC finish path with our frame
-        return self._finish_with_frame(pic, frame)
+        return RT.TpuFrame(y, cb, cr)
 
-    # light-weight plumbing: run the standard finish but skip recon
-    def _finish_with_frame(self, pic, frame):
-        header = self.pic_header
-        sps = self.sps
-        self.pic, self.pic_header = None, None
-        from broadway_tpu.core.poc import decode_poc
-        cur_mmco5 = any(m.op == 5 for m in header.mmco)
-        poc = decode_poc(sps, header, self.poc_state, header.nal_ref_idc,
-                         cur_mmco5)
-        if cur_mmco5:
-            poc = 0
-        self.dpb.current.frame = frame
-        self.dpb.mark_decoded_ref_pic(
-            is_ref=header.nal_ref_idc != 0, mmco=header.mmco,
-            adaptive=header.adaptive_ref_pic_marking,
-            frame_num=header.frame_num, poc=poc, is_idr=header.idr,
-            no_output_of_prior=header.no_output_of_prior_pics,
-            long_term_ref=header.long_term_reference,
-            pic_id=self.pic_number, num_err_mbs=0)
-        self.pic_number += 1
-        self._drain()
-
-    DEC.Decoder._finish_with_frame = _finish_with_frame
-    DEC.Decoder._finish_picture = finish_sliced
-    try:
-        outs = dec.decode_annexb(data)
-    finally:
-        DEC.Decoder._finish_picture = orig_finish
+    dec = DEC.Decoder(backend="cpu", recon_strategy=sliced_recon)
+    outs = dec.decode_annexb(data)
     return [o.frame.tobytes() for o in outs]

@@ -19,6 +19,7 @@ typedef uint32_t u32;
 typedef int64_t i64;
 typedef uint8_t u8;
 typedef uint16_t u16;
+typedef int16_t i16;
 
 struct CtEntry { int len; int bits; int to; int tc; };
 struct VlcEntry { int len; int bits; };
@@ -937,4 +938,125 @@ fail:
     *out_last_mb_addr = last_mb_addr;
     *out_bit_pos = c.br.pos;
     return 1;
+}
+
+// ---------------------------------------------------------------------------
+// bw_pack_picture: assemble the single-upload device buffer for one picture
+// (the TPU fast path, core/packed.py). Narrow dtypes + sparse coefficient
+// rows; layout must match broadway_tpu/core/packed.py:PackedLayout.
+//
+// Base sections (byte offsets, n = number of MBs):
+//   0*n  mb_class u8      5*n  idc u8          10*n i4_modes  u8[n,16]
+//   1*n  qp u8            6*n  offA i8         26*n total_coeff u8[n,16]
+//   2*n  cbp u8           7*n  offB i8         42*n ref_blk   i8[n,16]
+//   3*n  i16_mode u8      8*n  slice_id u16    58*n mv        i16[n,16,2]
+//   4*n  chroma_mode u8                        122*n = base end
+//
+// Sparse row index space (rows of 16 i16 values):
+//   [0,16n)    luma 4x4 AC/total  (addr*16 + by*4+bx)
+//   [16n,24n)  chroma AC          (16n + addr*8 + comp*4 + cy*2 + cx)
+//   [24n,25n)  luma DC (I16)      (24n + addr)
+//   [25n,26n)  chroma DC          (25n + addr; 8 values + 8 zero)
+//   [26n,38n)  I_PCM samples      (26n + addr*12 + j), u8 pairs as i16
+// ---------------------------------------------------------------------------
+
+extern "C" int bw_pack_picture(const PicBuffers* pb, i32 n,
+                               const i32* sp, i32 n_sp,
+                               u8* base, i32* sp_idx, i16* sp_val,
+                               i32* out_k) {
+    u8* o_cls = base;
+    u8* o_qp = base + (size_t)n;
+    u8* o_cbp = base + 2 * (size_t)n;
+    u8* o_i16m = base + 3 * (size_t)n;
+    u8* o_cm = base + 4 * (size_t)n;
+    u8* o_idc = base + 5 * (size_t)n;
+    int8_t* o_offa = (int8_t*)(base + 6 * (size_t)n);
+    int8_t* o_offb = (int8_t*)(base + 7 * (size_t)n);
+    u16* o_sid = (u16*)(base + 8 * (size_t)n);
+    u8* o_i4 = base + 10 * (size_t)n;
+    u8* o_tc = base + 26 * (size_t)n;
+    int8_t* o_ref = (int8_t*)(base + 42 * (size_t)n);
+    i16* o_mv = (i16*)(base + 58 * (size_t)n);
+
+    const i64 CH0 = 16 * (i64)n, LDC0 = 24 * (i64)n, CDC0 = 25 * (i64)n,
+              PCM0 = 26 * (i64)n;
+    i64 k = 0;
+    for (i32 a = 0; a < n; a++) {
+        int cls = pb->mb_class[a];
+        o_cls[a] = (u8)cls;
+        o_qp[a] = (u8)pb->qp[a];
+        o_cbp[a] = (u8)pb->cbp[a];
+        o_i16m[a] = (u8)pb->i16_mode[a];
+        o_cm[a] = (u8)pb->chroma_mode[a];
+        int sid = pb->slice_id[a];
+        o_sid[a] = (u16)(sid < 0 ? 0 : sid);
+        int spi = (sid < 0 || sid >= n_sp) ? 0 : sid;
+        o_idc[a] = (u8)sp[3 * spi];
+        o_offa[a] = (int8_t)sp[3 * spi + 1];
+        o_offb[a] = (int8_t)sp[3 * spi + 2];
+        for (int b = 0; b < 16; b++) {
+            o_i4[(i64)a * 16 + b] = (u8)pb->i4_modes[(i64)a * 16 + b];
+            o_tc[(i64)a * 16 + b] = (u8)pb->total_coeff[(i64)a * 16 + b];
+            int by = b >> 2, bx = b & 3;
+            o_ref[(i64)a * 16 + b] =
+                (int8_t)pb->ref_slot[(i64)a * 4 + (by >> 1) * 2 + (bx >> 1)];
+            o_mv[((i64)a * 16 + b) * 2] = (i16)pb->mv[((i64)a * 16 + b) * 2];
+            o_mv[((i64)a * 16 + b) * 2 + 1] =
+                (i16)pb->mv[((i64)a * 16 + b) * 2 + 1];
+        }
+        for (int b = 0; b < 16; b++) {
+            if (pb->total_coeff[(i64)a * 16 + b] > 0) {
+                sp_idx[k] = (i32)((i64)a * 16 + b);
+                const i32* src = pb->luma_coeffs + ((i64)a * 16 + b) * 16;
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 16; t++) dst[t] = (i16)src[t];
+                k++;
+            }
+        }
+        for (int cb = 0; cb < 8; cb++) {
+            if (pb->chroma_total_coeff[(i64)a * 8 + cb] > 0) {
+                sp_idx[k] = (i32)(CH0 + (i64)a * 8 + cb);
+                const i32* src = pb->chroma_ac + ((i64)a * 8 + cb) * 16;
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 16; t++) dst[t] = (i16)src[t];
+                k++;
+            }
+        }
+        if (cls == MB_I16x16) {
+            const i32* src = pb->luma_dc + (i64)a * 16;
+            bool nz = false;
+            for (int t = 0; t < 16; t++) nz |= src[t] != 0;
+            if (nz) {
+                sp_idx[k] = (i32)(LDC0 + a);
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 16; t++) dst[t] = (i16)src[t];
+                k++;
+            }
+        }
+        if ((pb->cbp[a] >> 4) > 0) {
+            const i32* src = pb->chroma_dc + (i64)a * 8;
+            bool nz = false;
+            for (int t = 0; t < 8; t++) nz |= src[t] != 0;
+            if (nz) {
+                sp_idx[k] = (i32)(CDC0 + a);
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 8; t++) dst[t] = (i16)src[t];
+                for (int t = 8; t < 16; t++) dst[t] = 0;
+                k++;
+            }
+        }
+        if (cls == MB_IPCM) {
+            const u8* src = pb->ipcm + (i64)a * 384;
+            for (int j = 0; j < 12; j++) {
+                sp_idx[k] = (i32)(PCM0 + (i64)a * 12 + j);
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 16; t++)
+                    dst[t] = (i16)(u16)(src[j * 32 + 2 * t] |
+                                        (src[j * 32 + 2 * t + 1] << 8));
+                k++;
+            }
+        }
+    }
+    *out_k = (i32)k;
+    return 0;
 }

@@ -31,28 +31,25 @@ def bench_stream(width_mbs, height_mbs, n_frames=4, seed=909):
 
 def parse_pictures(data, max_pics=None):
     """Run the host front-end; returns list of
-    (host_arrays, w_mbs, h_mbs, chroma_qp_offset, n_ref_slots)."""
+    (host_arrays, w_mbs, h_mbs, chroma_qp_offset, n_ref_slots).
+    Uses the decoder's recon_strategy hook — no pixel reconstruction
+    runs; DPB/POC bookkeeping proceeds normally (frames stay None)."""
     import broadway_tpu.core.decoder as DEC
     from broadway_tpu.core.recon_tpu import host_picture_arrays
 
     out = []
-    orig = DEC.Decoder._finish_picture
 
-    def patched(self, concealed):
-        arrs = host_picture_arrays(self.pic,
-                                   self.pps.chroma_qp_index_offset,
-                                   self.pps.constrained_intra_pred)
-        out.append((arrs, self.sps.width_mbs, self.sps.height_mbs,
-                    self.pps.chroma_qp_index_offset,
-                    len(self.dpb.buffer)))
-        return orig(self, concealed)
+    def collect(dec, pic):
+        arrs = host_picture_arrays(pic,
+                                   dec.pps.chroma_qp_index_offset,
+                                   dec.pps.constrained_intra_pred)
+        out.append((arrs, dec.sps.width_mbs, dec.sps.height_mbs,
+                    dec.pps.chroma_qp_index_offset,
+                    len(dec.dpb.buffer)))
+        return None
 
-    DEC.Decoder._finish_picture = patched
-    try:
-        d = DEC.Decoder(backend="cpu")
-        d.decode_annexb(data)
-    finally:
-        DEC.Decoder._finish_picture = orig
+    d = DEC.Decoder(backend="cpu", recon_strategy=collect)
+    d.decode_annexb(data)
     if max_pics:
         out = out[:max_pics]
     return out

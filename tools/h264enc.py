@@ -282,6 +282,7 @@ class SliceConfig:
     # ref_pic_list_reordering commands: [(op, value)], op in (0, 1, 2)
     reorder_l0: Optional[List[tuple]] = None
     slice_group_change_cycle: Optional[int] = None
+    redundant_pic_cnt: int = 0   # written when pps.redundant_pic_cnt_present
     sps: SpsConfig = dataclasses.field(default_factory=SpsConfig)
     pps: PpsConfig = dataclasses.field(default_factory=PpsConfig)
     nal_ref_idc: int = 3
@@ -307,6 +308,8 @@ def write_slice(cfg: SliceConfig, mbs: List[dict]) -> bytes:
         w.se(cfg.delta_poc_0)
         if cfg.pps.pic_order_present:
             w.se(0)  # delta_pic_order_cnt[1]
+    if cfg.pps.redundant_pic_cnt_present:
+        w.ue(cfg.redundant_pic_cnt)
     if cfg.slice_type == "P":
         if cfg.num_ref_idx_override is not None:
             w.flag(1)

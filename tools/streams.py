@@ -8,6 +8,7 @@ comparison, Decoder/src/DecTestBench.c:442).
 
 from __future__ import annotations
 
+import dataclasses
 import random
 from typing import List
 
@@ -612,6 +613,38 @@ def multislice_stream(width_mbs=5, height_mbs=4, n_frames=4, seed=201,
             mbs = _mixed_mb_list(rng, tracker, addrs, sqp, is_p=not is_idr,
                                  chroma_qp_offset=chroma_qp_offset)
             out.append(write_slice(cfg, mbs))
+    info = {"width": width_mbs * 16, "height": height_mbs * 16,
+            "n_frames": n_frames}
+    return b"".join(out), info
+
+
+def redundant_stream(width_mbs=4, height_mbs=3, n_frames=4, seed=701,
+                     qp=28, drop_primary_of=()):
+    """P pictures followed by a redundant copy slice
+    (redundant_pic_cnt=1, all-skip). Frames listed in drop_primary_of
+    have their PRIMARY slice omitted, leaving the redundant slice as the
+    decodable fallback (h264bsd_slice_data.c:133-139 semantics)."""
+    rng = random.Random(seed)
+    sps = SpsConfig(width_mbs=width_mbs, height_mbs=height_mbs, poc_type=2,
+                    num_ref_frames=1)
+    pps = PpsConfig(pic_init_qp=qp, redundant_pic_cnt_present=True)
+    out = [write_sps(sps), write_pps(pps)]
+    n_mbs = width_mbs * height_mbs
+    for f in range(n_frames):
+        is_idr = f == 0
+        tracker = IntraModeTracker(width_mbs, height_mbs)
+        cfg = SliceConfig(
+            slice_type="I" if is_idr else "P", idr=is_idr, idr_pic_id=0,
+            frame_num=f % 32, sps=sps, pps=pps, slice_qp=qp,
+            pic_init_qp=qp, disable_deblocking_idc=0)
+        if f not in drop_primary_of:
+            mbs = _mixed_mb_list(rng, tracker, list(range(n_mbs)), qp,
+                                 is_p=not is_idr)
+            out.append(write_slice(cfg, mbs))
+        if not is_idr:
+            rcfg = dataclasses.replace(cfg, redundant_pic_cnt=1)
+            skips = [{"kind": "skip", "addr": a} for a in range(n_mbs)]
+            out.append(write_slice(rcfg, skips))
     info = {"width": width_mbs * 16, "height": height_mbs * 16,
             "n_frames": n_frames}
     return b"".join(out), info
