@@ -376,11 +376,16 @@ class Decoder:
         self.skip_redundant = True
 
         num_err = pic.n_mbs - int(pic.decoded.sum())
+        frame = None
         if num_err:
             frame = self._reconstruct_concealed(pic, num_err)
             num_err = int(pic.concealed.sum())
         elif self.recon_strategy is not None:
+            # a strategy may decline a picture (returns None) -> fall
+            # back to the built-in backend below
             frame = self.recon_strategy(self, pic)
+        if frame is not None:
+            pass
         elif self.backend == "tpu":
             frame = self._reconstruct_tpu(pic)
         else:

@@ -591,6 +591,27 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                 _unpack_to_plane(CR, lay, 8))
 
     # ---- stage 5: deblock wavefront (lax.scan fallback) ----------------
+    def run_deblock(args):
+        return deblock_scan(args[0], args[1], args[2], arrs, steps_x)
+
+    Y, CB, CR = jax.lax.cond(arrs["whole_conceal"],
+                             lambda a: a, run_deblock, (Y, CB, CR))
+
+    out_y = _unpack_to_plane(Y, lay, 16)
+    out_cb = _unpack_to_plane(CB, lay, 8)
+    out_cr = _unpack_to_plane(CR, lay, 8)
+    return out_y, out_cb, out_cr
+
+
+def deblock_scan(Y, CB, CR, arrs, steps_x):
+    """In-loop deblocking as a lax.scan over wavefront diagonals (the
+    XLA fallback twin of ops/tpu/wavefront_pallas._db_kernel; bit-exact
+    vs core/deblock_impl.py which mirrors h264bsd_deblocking.c:574).
+
+    Y [S,LS,16,16], CB/CR [S,LS,8,8] packed planes; arrs: packed per-MB
+    dict (total_coeff, mv, ref_blk, is_inter, FT, FL, enable, qp, offA,
+    offB, chroma_off_mb); steps_x: step_tables as device arrays."""
+    LS = Y.shape[1]
     tc4 = arrs["total_coeff"]          # [S,LS,4,4] raster
     mvp = arrs["mv"]
     refp = arrs["ref_blk"]
@@ -807,18 +828,8 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
         CR = apply_chroma(CR, newPL[1])
         return (Y, CB, CR), None
 
-    def run_deblock(args):
-        Y, CB, CR = args
-        (Y, CB, CR), _ = jax.lax.scan(db_step, (Y, CB, CR), steps_x)
-        return Y, CB, CR
-
-    Y, CB, CR = jax.lax.cond(arrs["whole_conceal"],
-                             lambda a: a, run_deblock, (Y, CB, CR))
-
-    out_y = _unpack_to_plane(Y, lay, 16)
-    out_cb = _unpack_to_plane(CB, lay, 8)
-    out_cr = _unpack_to_plane(CR, lay, 8)
-    return out_y, out_cb, out_cr
+    (Y, CB, CR), _ = jax.lax.scan(db_step, (Y, CB, CR), steps_x)
+    return Y, CB, CR
 
 
 def default_mc_backend(device=None) -> str:

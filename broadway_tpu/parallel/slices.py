@@ -9,10 +9,21 @@ slices are entropy- and prediction-independent by construction), then an
 `all_gather` over the "sp" mesh axis rebuilds full reference frames on
 every chip — the ICI-collective version of copySlice.
 
-Exactness domain: streams whose slices align with the bands and use
-disable_deblocking_filter_idc in {1, 2} (no filtering across slice
-boundaries) — the same independence Broadway's sliceMode relies on.
-Cross-slice deblocking (idc 0) needs a pipelined boundary pass (future).
+Exactness domain: streams whose slices align with the bands.
+ - idc in {1, 2}: bands deblock independently (no filtering across
+   slice boundaries) — the same independence Broadway's sliceMode
+   relies on. One all_gather rebuilds full frames.
+ - idc 0 (the default): deblocking crosses slice boundaries AND is
+   order-sequential — the reference filters the picture in raster order
+   (h264bsd_deblocking.c:574-637) and every filtered edge feeds the
+   next edge's input, so boundary changes cascade downward through the
+   whole picture. The bit-exact sharded form is therefore a CHAIN: band
+   k deblocks only after receiving band k-1's final bottom MB row
+   (pixels) via `ppermute` — the ICI version of sliceMode's copySlice
+   ring (Player/Decoder.js:677-727) with deblock-order semantics.
+   Reconstruction (stages 1-4) still runs fully parallel across bands;
+   only the ~6 ms deblock stage serializes, matching the reference's
+   own sequential semantics.
 """
 
 from __future__ import annotations
@@ -39,6 +50,158 @@ def band_host_arrays(pic: PictureData, n_bands: int, chroma_qp_offset: int,
                                   band=(b * hb, hb))
            for b in range(n_bands)]
     return {k: np.stack([p[k] for p in per]) for k in per[0]}
+
+
+def band_host_arrays_ghost(pic: PictureData, n_bands: int,
+                           chroma_qp_offset: int,
+                           constrained_intra: bool) -> Dict[str, np.ndarray]:
+    """Stacked per-band arrays with a GHOST MB row prepended: entry k
+    holds MB rows [k*hb - 1, (k+1)*hb) of the full picture ((hb+1) rows;
+    band 0 gets an all-disabled dummy row). The ghost row carries the
+    up-neighbour metadata for the cross-band deblock edge; its own
+    deblock flags are forced off so band k never re-filters band k-1's
+    interior edges."""
+    h, w = pic.height_mbs, pic.width_mbs
+    assert h % n_bands == 0, "height_mbs must divide into equal bands"
+    hb = h // n_bands
+    full = RT.host_picture_arrays(pic, chroma_qp_offset, constrained_intra)
+    out = {}
+    for k, v in full.items():
+        if k == "whole_conceal":
+            out[k] = np.broadcast_to(v, (n_bands,)).copy()
+            continue
+        g = v.reshape((h * w,) + v.shape[1:])
+        bands = []
+        for b in range(n_bands):
+            lo = b * hb * w
+            ghost = g[lo - w:lo] if b > 0 else np.zeros_like(g[:w])
+            bands.append(np.concatenate([ghost, g[lo:lo + hb * w]]))
+        out[k] = np.stack(bands)
+    # ghost row: only the row-1 top edge may touch it
+    for k in ("enable", "FT", "FL"):
+        out[k][:, :w] = False
+    return out
+
+
+def _plane_to_blocks(pl: jnp.ndarray, mb: int) -> jnp.ndarray:
+    """[h*mb, w*mb] raster plane -> [h*w, mb, mb] MB blocks."""
+    h, w = pl.shape[0] // mb, pl.shape[1] // mb
+    return pl.reshape(h, mb, w, mb).transpose(0, 2, 1, 3) \
+        .reshape(h * w, mb, mb)
+
+
+def _deblock_band_ghost(y, cb, cr, gy, gcb, gcr, parrs, steps_g,
+                        w_mbs: int, hb_mbs: int):
+    """Deblock one band given the up-neighbour halo: ghost pixel MB row
+    (gy [16,W], gcb/gcr [8,W/2]) + (hb+1)-row packed metadata `parrs`.
+    Returns (band planes, modified ghost rows)."""
+    lay_g = RT.get_layout(w_mbs, hb_mbs + 1)
+    Yg = lay_g.pack_dev(_plane_to_blocks(
+        jnp.concatenate([gy, y], axis=0), 16))
+    CBg = lay_g.pack_dev(_plane_to_blocks(
+        jnp.concatenate([gcb, cb], axis=0), 8))
+    CRg = lay_g.pack_dev(_plane_to_blocks(
+        jnp.concatenate([gcr, cr], axis=0), 8))
+    Yg, CBg, CRg = RT.deblock_scan(Yg, CBg, CRg, parrs, steps_g)
+    fy = RT._unpack_to_plane(Yg, lay_g, 16)
+    fcb = RT._unpack_to_plane(CBg, lay_g, 8)
+    fcr = RT._unpack_to_plane(CRg, lay_g, 8)
+    return (fy[16:], fcb[8:], fcr[8:],
+            fy[:16], fcb[:8], fcr[:8])
+
+
+def decode_picture_sliced_x_impl(garrs, ref_y, ref_c, steps, steps_g,
+                                 w_mbs, hb_mbs, chroma_qp_offset,
+                                 axis: str = "sp", mc: str = "xla",
+                                 h_mbs_full: int = None,
+                                 n_bands: int = 1):
+    """shard_map body, cross-slice deblocking (idc 0): parallel band
+    reconstruction, then the chained band deblock with ppermute halos.
+
+    garrs: ghost-augmented band arrays (leading axis sharded over
+    `axis`; (hb+1)*w MBs per band, row 0 = ghost)."""
+    band = jax.lax.axis_index(axis)
+    garrs = jax.tree_util.tree_map(lambda x: x[0], garrs)
+    w = w_mbs
+    # recon arrays = ghost bundle minus the ghost row
+    rarrs = {k: (v if k == "whole_conceal" else v[w:])
+             for k, v in garrs.items()}
+    y, cb, cr = RT.decode_picture_impl(
+        rarrs, ref_y, ref_c, steps,
+        w_mbs=w_mbs, h_mbs=hb_mbs, chroma_qp_offset=chroma_qp_offset,
+        mc=mc, mb0=band * hb_mbs * w_mbs, ref_h_mbs=h_mbs_full,
+        run_stages=2)                      # stages 1-4, no deblock yet
+
+    # packed (hb+1)-row metadata for the ghost deblock
+    lay_g = RT.get_layout(w_mbs, hb_mbs + 1)
+    parrs = {k: lay_g.pack_dev(garrs[k]) for k in
+             ("total_coeff", "mv", "ref_blk", "is_inter", "FT", "FL",
+              "enable", "qp", "offA", "offB", "chroma_off_mb")}
+
+    W, Wc = w_mbs * 16, w_mbs * 8
+    perm = [(i, i + 1) for i in range(n_bands - 1)]
+
+    def chain_step(s, carry):
+        (ghy, ghcb, ghcr, oy, ocb, ocr, my, mcb, mcr) = carry
+        dy, dcb, dcr, gy2, gcb2, gcr2 = _deblock_band_ghost(
+            y, cb, cr, ghy, ghcb, ghcr, parrs, steps_g, w_mbs, hb_mbs)
+        mine = band == s
+        oy = jnp.where(mine, dy, oy)
+        ocb = jnp.where(mine, dcb, ocb)
+        ocr = jnp.where(mine, dcr, ocr)
+        my = jnp.where(mine, gy2, my)
+        mcb = jnp.where(mine, gcb2, mcb)
+        mcr = jnp.where(mine, gcr2, mcr)
+        # halo: my final bottom MB row -> next band (the ICI copySlice)
+        ghy = jax.lax.ppermute(oy[-16:], axis, perm)
+        ghcb = jax.lax.ppermute(ocb[-8:], axis, perm)
+        ghcr = jax.lax.ppermute(ocr[-8:], axis, perm)
+        return (ghy, ghcb, ghcr, oy, ocb, ocr, my, mcb, mcr)
+
+    z = jnp.zeros
+    carry = (z((16, W), y.dtype), z((8, Wc), y.dtype), z((8, Wc), y.dtype),
+             y, cb, cr,
+             z((16, W), y.dtype), z((8, Wc), y.dtype), z((8, Wc), y.dtype))
+    carry = jax.lax.fori_loop(0, n_bands, chain_step, carry)
+    _, _, _, oy, ocb, ocr, my, mcb, mcr = carry
+
+    # rebuild full planes; band k's modified ghost row overwrites the
+    # bottom MB row of band k-1 (its rows 13..15 changed)
+    fy = jax.lax.all_gather(oy, axis)          # [n_bands, Hb, W]
+    fcb = jax.lax.all_gather(ocb, axis)
+    fcr = jax.lax.all_gather(ocr, axis)
+    gmy = jax.lax.all_gather(my, axis)         # [n_bands, 16, W]
+    gmcb = jax.lax.all_gather(mcb, axis)
+    gmcr = jax.lax.all_gather(mcr, axis)
+    Hb, Hbc = hb_mbs * 16, hb_mbs * 8
+    fy = fy.reshape(n_bands * Hb, W)
+    fcb = fcb.reshape(n_bands * Hbc, Wc)
+    fcr = fcr.reshape(n_bands * Hbc, Wc)
+    for k in range(1, n_bands):
+        fy = jax.lax.dynamic_update_slice(fy, gmy[k], (k * Hb - 16, 0))
+        fcb = jax.lax.dynamic_update_slice(fcb, gmcb[k], (k * Hbc - 8, 0))
+        fcr = jax.lax.dynamic_update_slice(fcr, gmcr[k], (k * Hbc - 8, 0))
+    return fy, fcb, fcr
+
+
+def make_sliced_decoder_x(mesh: Mesh, w_mbs: int, h_mbs: int,
+                          n_bands: int, chroma_qp_offset: int,
+                          axis: str = "sp"):
+    """Cross-slice-deblocking (idc 0) band-sharded decoder:
+    jitted fn(ghost_arrs, ref_y, ref_c, steps, steps_g) -> full planes."""
+    from jax import shard_map
+
+    hb = h_mbs // n_bands
+    fn = functools.partial(decode_picture_sliced_x_impl, w_mbs=w_mbs,
+                           hb_mbs=hb, chroma_qp_offset=chroma_qp_offset,
+                           axis=axis, h_mbs_full=h_mbs, n_bands=n_bands,
+                           mc=RT.default_mc_backend(
+                               mesh.devices.flat[0]))
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(sharded)
 
 
 def decode_picture_sliced_impl(barrs, ref_y, ref_c, steps,
@@ -81,13 +244,34 @@ def make_sliced_decoder(mesh: Mesh, w_mbs: int, h_mbs: int, n_bands: int,
     return jax.jit(sharded)
 
 
+def _bands_aligned(pic: PictureData, n_bands: int) -> bool:
+    """True if every slice lies within one MB-row band (the recon
+    independence precondition for band sharding)."""
+    h, w = pic.height_mbs, pic.width_mbs
+    if h % n_bands:
+        return False
+    hb = h // n_bands
+    sid = pic.slice_id.reshape(n_bands, hb * w)
+    for b in range(n_bands):
+        own = set(np.unique(sid[b]).tolist())
+        for b2 in range(n_bands):
+            if b2 != b and own & set(np.unique(sid[b2]).tolist()):
+                return False
+    return True
+
+
 def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
                          backend_decoder=None) -> List[bytes]:
     """End-to-end band-sharded decode of an Annex-B stream on `mesh`.
     Returns display-order YUV bytes. Host front-end parses; the pixel
     pipeline runs sharded via the decoder's recon_strategy hook; DPB
-    frames stay replicated device arrays. Pictures with errors fall
-    back to the built-in concealment path automatically."""
+    frames stay replicated device arrays.
+
+    Per picture the path is chosen automatically:
+      - slices band-aligned, idc in {1,2}: independent band decode
+      - slices band-aligned, idc 0: chained deblock with ppermute halos
+      - otherwise (unaligned slices / errors): single-device fallback
+    """
     import broadway_tpu.core.decoder as DEC
 
     decoder_fn = {}
@@ -95,18 +279,37 @@ def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
     def sliced_recon(self, pic):
         sps, pps = self.sps, self.pps
         w, h = sps.width_mbs, sps.height_mbs
-        key = (w, h)
-        if key not in decoder_fn:
-            decoder_fn[key] = make_sliced_decoder(
-                mesh, w, h, n_bands, pps.chroma_qp_index_offset)
-        barrs = band_host_arrays(pic, n_bands, pps.chroma_qp_index_offset,
-                                 pps.constrained_intra_pred)
-        barrs = {k: jnp.asarray(v) for k, v in barrs.items()}
+        if not _bands_aligned(pic, n_bands):
+            return None                     # decoder falls back
+        cross = any(sp.disable_deblocking_idc == 0
+                    for sp in pic.slice_params)
+        key = (w, h, cross)
         steps = {k: jnp.asarray(v)
                  for k, v in RT.step_tables(w, h // n_bands).items()}
         ref_y, ref_c = RT.ref_stacks(self.dpb.buffer, sps.width,
                                      sps.height)
-        y, cb, cr = decoder_fn[key](barrs, ref_y, ref_c, steps)
+        if cross:
+            if key not in decoder_fn:
+                decoder_fn[key] = make_sliced_decoder_x(
+                    mesh, w, h, n_bands, pps.chroma_qp_index_offset)
+            garrs = band_host_arrays_ghost(
+                pic, n_bands, pps.chroma_qp_index_offset,
+                pps.constrained_intra_pred)
+            garrs = {k: jnp.asarray(v) for k, v in garrs.items()}
+            steps_g = {k: jnp.asarray(v)
+                       for k, v in RT.step_tables(
+                           w, h // n_bands + 1).items()}
+            y, cb, cr = decoder_fn[key](garrs, ref_y, ref_c, steps,
+                                        steps_g)
+        else:
+            if key not in decoder_fn:
+                decoder_fn[key] = make_sliced_decoder(
+                    mesh, w, h, n_bands, pps.chroma_qp_index_offset)
+            barrs = band_host_arrays(pic, n_bands,
+                                     pps.chroma_qp_index_offset,
+                                     pps.constrained_intra_pred)
+            barrs = {k: jnp.asarray(v) for k, v in barrs.items()}
+            y, cb, cr = decoder_fn[key](barrs, ref_y, ref_c, steps)
         return RT.TpuFrame(y, cb, cr)
 
     dec = DEC.Decoder(backend="cpu", recon_strategy=sliced_recon)
