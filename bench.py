@@ -1,10 +1,24 @@
 #!/usr/bin/env python3
-"""Benchmark: H.264 Baseline decode pixel pipeline, frames/sec/chip.
+"""Benchmark: H.264 Baseline END-TO-END decode, frames/sec/chip.
 
-Measures the jitted TPU pixel backend (residual + MC + intra wavefront +
-deblock — core/recon_tpu.py) in steady state on the local accelerator:
-single-stream latency and an 8-stream batch (vmap DP), at 1080p
-(120x68 MBs) by default.
+Headline: the full decoder (`Decoder(backend="tpu")`) driven with real
+Annex-B bitstream bytes at 1080p — native entropy front-end, compact
+packed upload, jitted TPU pixel pipeline, persistent device DPB — on
+the realistic-statistics bench stream (multi-slice, idc 0, multi-ref,
+sparse residuals; tools/streams.realistic_stream). Frames are decoded
+into device HBM (the serving contract: display/RGB consume them there,
+like the reference hands frames to a WebGL texture).
+
+Details additionally report:
+  - fps_e2e_fetch: same run but every frame's YUV fetched to host
+    bytes (the DecTestBench contract). On this rig the host<->device
+    link moves ~25 MB/s half-duplex, so 1080p YUV delivery to the host
+    is hard-capped at ~8 fps regardless of decode speed; the measured
+    link budget is printed for the record.
+  - fps_pipeline: steady-state jitted pixel pipeline alone (pre-parsed
+    dense-stream tensors resident on device).
+  - fps_dense_e2e: end-to-end on the legacy dense synthetic stream
+    (adversarial entropy/upload load).
 
 The reference publishes no numbers (BASELINE.md); the clip recipe is
 29.97 fps video (reference README.markdown:35), so vs_baseline is
@@ -23,15 +37,34 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-# persistent XLA/Mosaic compile cache (compiles are minutes at 1080p)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(REPO, "build", "jaxcache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+from broadway_tpu.utils.cache import ensure_compile_cache
+ensure_compile_cache()
 
 W_MBS = int(os.environ.get("BENCH_W_MBS", "120"))
 H_MBS = int(os.environ.get("BENCH_H_MBS", "68"))
-BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
 REPS = int(os.environ.get("BENCH_REPS", "16"))
+
+
+def _bench_e2e(data, fetch: bool, parallel_slices: int = 8):
+    """One warm end-to-end pass: bitstream bytes -> decoded frames.
+    fetch=False leaves frames device-resident (blocks until computed);
+    fetch=True additionally pulls every frame's YUV bytes to the host."""
+    import jax
+    from broadway_tpu.core.decoder import Decoder
+
+    d = Decoder(backend="tpu", parallel_slices=parallel_slices)
+    t0 = time.perf_counter()
+    outs = d.decode_annexb(data)
+    nb = 0
+    if fetch:
+        for o in outs:
+            nb += len(o.frame.tobytes())
+    else:
+        for o in outs:
+            jax.block_until_ready(o.frame.y)
+    dt = time.perf_counter() - t0
+    return len(outs) / dt, len(outs), nb
 
 
 def main():
@@ -39,73 +72,72 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from bench_common import bench_stream, parse_pictures
+    from bench_common import (bench_stream, parse_pictures,
+                              realistic_bench_stream)
     from broadway_tpu.core import recon_tpu as RT
     from broadway_tpu.ops.tpu import mc_pallas as K_mcp
-    from broadway_tpu.parallel.streams import decode_pictures_batch
 
-    mc = RT.default_mc_backend()
-    data = bench_stream(W_MBS, H_MBS, n_frames=3)
-    pics = parse_pictures(data, max_pics=2)
-    arrs, w, h, cqo, n_slots = pics[-1]  # a P picture
-    arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
-    steps = {k: jnp.asarray(v) for k, v in RT.step_tables(w, h).items()}
+    detail = {"device": str(jax.devices()[0])}
 
-    H, W = h * 16, w * 16
-    hy, wy = K_mcp.luma_ext_dims(W, H)
-    hc, wc = K_mcp.chroma_ext_dims(W, H)
-    rng = np.random.RandomState(0)
-    ref_y = jnp.asarray(rng.randint(0, 256, (n_slots, hy, wy)), jnp.int32)
-    ref_c = jnp.asarray(rng.randint(0, 256, (n_slots, hc, wc)), jnp.int32)
+    # ---- headline: end-to-end on the realistic stream ------------------
+    real = realistic_bench_stream(W_MBS, H_MBS, n_frames=N_FRAMES)
+    _bench_e2e(real, fetch=True)          # warm / compile
+    fps_e2e, n, _ = _bench_e2e(real, fetch=False)
+    fps_fetch, _, nb = _bench_e2e(real, fetch=True)
+    detail["fps_e2e_device"] = round(fps_e2e, 2)
+    detail["fps_e2e_fetch"] = round(fps_fetch, 2)
+    detail["frames"] = n
+    detail["stream_bytes"] = len(real)
+    detail["fetched_bytes"] = nb
 
-    # --- single stream steady state ---
-    out = RT.decode_picture(arrs, ref_y, ref_c, steps,
-                            w_mbs=w, h_mbs=h, chroma_qp_offset=cqo,
-                            mc=mc, wf=mc)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = RT.decode_picture(arrs, ref_y, ref_c, steps,
-                                w_mbs=w, h_mbs=h, chroma_qp_offset=cqo,
-                                mc=mc, wf=mc)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / REPS
-    fps_single = 1.0 / dt
-
-    # --- batched streams (DP) ---
-    fps_batch = 0.0
+    # ---- dense synthetic stream, end-to-end (adversarial load) ---------
     try:
-        barrs = {k: jnp.broadcast_to(v[None], (BATCH,) + v.shape)
-                 for k, v in arrs.items()}
-        bref_y = jnp.broadcast_to(ref_y[None], (BATCH,) + ref_y.shape)
-        bref_c = jnp.broadcast_to(ref_c[None], (BATCH,) + ref_c.shape)
-        out = decode_pictures_batch(barrs, bref_y, bref_c, steps,
-                                    w_mbs=w, h_mbs=h, chroma_qp_offset=cqo,
-                                    mc=mc)
+        dense = bench_stream(W_MBS, H_MBS, n_frames=8)
+        _bench_e2e(dense, fetch=False)    # warm / compile
+        fps_dense, _, _ = _bench_e2e(dense, fetch=False)
+        detail["fps_dense_e2e"] = round(fps_dense, 2)
+    except Exception as e:
+        sys.stderr.write(f"dense e2e bench failed: {type(e).__name__}\n")
+
+    # ---- pipeline-only (kernel steady state, dense tensors) ------------
+    try:
+        mc = RT.default_mc_backend()
+        pics = parse_pictures(bench_stream(W_MBS, H_MBS, n_frames=3),
+                              max_pics=2)
+        arrs, w, h, cqo, n_slots = pics[-1]
+        arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
+        steps = {k: jnp.asarray(v) for k, v in RT.step_tables(w, h).items()}
+        H, W = h * 16, w * 16
+        hy, wy = K_mcp.luma_ext_dims(W, H)
+        hc, wc = K_mcp.chroma_ext_dims(W, H)
+        rng = np.random.RandomState(0)
+        ref_y = jnp.asarray(rng.randint(0, 256, (n_slots, hy, wy)),
+                            jnp.int32)
+        ref_c = jnp.asarray(rng.randint(0, 256, (n_slots, hc, wc)),
+                            jnp.int32)
+        out = RT.decode_picture(arrs, ref_y, ref_c, steps, w_mbs=w,
+                                h_mbs=h, chroma_qp_offset=cqo,
+                                mc=mc, wf=mc)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        for _ in range(max(REPS // 4, 2)):
-            out = decode_pictures_batch(barrs, bref_y, bref_c,
-                                        steps, w_mbs=w, h_mbs=h,
-                                        chroma_qp_offset=cqo, mc=mc)
+        for _ in range(REPS):
+            out = RT.decode_picture(arrs, ref_y, ref_c, steps, w_mbs=w,
+                                    h_mbs=h, chroma_qp_offset=cqo,
+                                    mc=mc, wf=mc)
         jax.block_until_ready(out)
-        dt = (time.perf_counter() - t0) / max(REPS // 4, 2)
-        fps_batch = BATCH / dt
+        detail["fps_pipeline"] = round(
+            REPS / (time.perf_counter() - t0), 2)
     except Exception as e:
-        sys.stderr.write(f"batch bench failed: {type(e).__name__}\n")
+        sys.stderr.write(f"pipeline bench failed: {type(e).__name__}\n")
 
-    fps = max(fps_single, fps_batch)
     print(json.dumps({
         "metric": f"frames/sec/chip {W_MBS * 16}x{H_MBS * 16} Baseline "
-                  f"decode pixel pipeline (best of 1-stream, "
-                  f"{BATCH}-stream batch)",
-        "value": round(fps, 2),
+                  f"END-TO-END decode (bitstream in -> decoded frames "
+                  f"in device HBM; realistic multi-slice idc-0 stream)",
+        "value": round(fps_e2e, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 30.0, 3),
-        "detail": {"fps_single": round(fps_single, 2),
-                   "fps_batch_total": round(fps_batch, 2),
-                   "batch": BATCH,
-                   "device": str(jax.devices()[0])},
+        "vs_baseline": round(fps_e2e / 30.0, 3),
+        "detail": detail,
     }))
 
 

@@ -69,7 +69,8 @@ class H264Decoder:
 
     def __init__(self, no_output_reordering: bool = False,
                  backend: str = "cpu", evaluation_limit: int = 0,
-                 trace=None, streaming: bool = False) -> None:
+                 trace=None, streaming: bool = False,
+                 parallel_slices: int = None) -> None:
         """evaluation_limit: picture cap after which decode() returns
         EVALUATION_LIMIT_EXCEEDED (the reference's H264DEC_EVALUATION
         build, 500 frames, H264SwDecApi.c:74-76); 0 = unlimited.
@@ -82,8 +83,12 @@ class H264Decoder:
         reference treats end-of-buffer as end-of-NAL
         (h264bsd_byte_stream.c:162-166), so its callers must feed whole
         NALs; this mode lifts that restriction."""
+        if parallel_slices is None:
+            # tpu decode: overlap host slice parsing with device work
+            parallel_slices = 8 if backend == "tpu" else 0
         self._core = _Core(no_reordering=no_output_reordering,
-                           backend=backend)
+                           backend=backend,
+                           parallel_slices=parallel_slices)
         self._pending = []     # drained display-order outputs
         self._headers_reported = False
         self._pic_id = 0

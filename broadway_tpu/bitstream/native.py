@@ -74,6 +74,12 @@ def _load():
             ct.POINTER(_PicBuffers), ct.c_int32, ct.c_void_p, ct.c_int32,
             ct.c_void_p, ct.c_void_p, ct.c_void_p,
             ct.POINTER(ct.c_int32)]
+        lib.bw_pack_picture2.restype = ct.c_int
+        lib.bw_pack_picture2.argtypes = [
+            ct.POINTER(_PicBuffers), ct.c_int32, ct.c_void_p, ct.c_int32,
+            ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.c_void_p, ct.c_void_p,
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32)]
     except AttributeError:
         pass   # stale .so without the packer; pack path stays off
     _lib = lib
@@ -130,6 +136,33 @@ def _pic_buffers(pic: PictureData, parser: Optional[MbParser] = None
 def pack_available() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "bw_pack_picture")
+
+
+def pack2_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "bw_pack_picture2")
+
+
+def pack_picture2_native(pic: PictureData, base, idx, val,
+                         eidx, eval_) -> tuple:
+    """Fill the COMPACT packed upload buffer (v2: 13 B/MB base +
+    slice-param table + sparse coefficient rows + sparse exception
+    rows). Returns (n coeff rows, n exception rows)."""
+    import numpy as np
+    lib = _load()
+    assert lib is not None
+    pb = _pic_buffers(pic)
+    sp = np.array([[p.disable_deblocking_idc, p.alpha_c0_offset,
+                    p.beta_offset] for p in pic.slice_params] or [[0, 0, 0]],
+                  np.int32)
+    k = ct.c_int32(0)
+    e = ct.c_int32(0)
+    ret = lib.bw_pack_picture2(ct.byref(pb), pic.n_mbs, _ptr(sp), len(sp),
+                               _ptr(base), _ptr(idx), _ptr(val),
+                               _ptr(eidx), _ptr(eval_),
+                               ct.byref(k), ct.byref(e))
+    assert ret == 0
+    return int(k.value), int(e.value)
 
 
 def pack_picture_native(pic: PictureData, base, idx, val) -> int:

@@ -96,6 +96,10 @@ class Decoder:
         self.pps: Optional[Pps] = None
         self.no_reordering = no_reordering
         self.backend = backend
+        if backend == "tpu":
+            # first 1080p compile is minutes; make it once per machine
+            from ..utils.cache import ensure_compile_cache
+            ensure_compile_cache()
         self.dpb: Optional[Dpb] = None
         self.poc_state = PocState()
         self.aub = _AubState()
@@ -139,24 +143,33 @@ class Decoder:
             self.dpb.flush()
             self._drain()
 
-    def _run_deferred(self) -> None:
-        """Parse this picture's deferred slices concurrently (each
-        native call releases the GIL; slices write disjoint MB ranges)."""
-        from ..bitstream.native import decode_slice_data_native
-        work, self._deferred = self._deferred, []
+    def _submit_slice(self, args) -> None:
+        """Start parsing one slice on the pool NOW (the native call
+        releases the GIL; slices write disjoint MB ranges). Parses run
+        while the host keeps scanning NALs / packing earlier pictures —
+        the host-side frame pipeline (reference analogue: worker decode
+        off the feed thread, Player.js:140-185)."""
+        pic, parser, sps, pps = self.pic, self.parser, self.sps, self.pps
 
-        def one(args):
+        def one():
+            from ..bitstream.native import decode_slice_data_native
             rbsp, pos, header, sg_map, slice_id, ref_slots = args
             try:
                 decode_slice_data_native(
-                    rbsp, pos, self.pic, self.parser, header, self.sps,
-                    self.pps, sg_map, slice_id, ref_slots,
+                    rbsp, pos, pic, parser, header, sps,
+                    pps, sg_map, slice_id, ref_slots,
                     append_params=False)
                 return None
             except SliceDataError as e:
                 return (header, sg_map, slice_id, e)
 
-        for res in self._executor.map(one, work):
+        self._deferred.append(self._executor.submit(one))
+
+    def _run_deferred(self) -> None:
+        """Collect this picture's in-flight slice parses."""
+        work, self._deferred = self._deferred, []
+        for fut in work:
+            res = fut.result()
             if res is not None:
                 header, sg_map, slice_id, e = res
                 mark_slice_corrupted(self.pic, header.first_mb, sg_map,
@@ -331,9 +344,9 @@ class Decoder:
             if use_native and self._executor is not None:
                 from ..bitstream.native import append_slice_params
                 append_slice_params(self.pic, header, slice_id, ref_slots)
-                self._deferred.append((nal_rbsp, r.pos, header, sg_map,
-                                       slice_id, ref_slots))
-                return        # parsed at the picture boundary (batched)
+                self._submit_slice((nal_rbsp, r.pos, header, sg_map,
+                                    slice_id, ref_slots))
+                return        # collected at the picture boundary
             elif use_native:
                 from ..bitstream.native import decode_slice_data_native
                 decode_slice_data_native(nal_rbsp, r.pos, self.pic,
@@ -520,6 +533,32 @@ class Decoder:
         wf = os.environ.get("BROADWAY_WF", be)
 
         from ..bitstream import native as nat
+        if nat.pack2_available() and not os.environ.get("BW_NO_PACK") \
+                and not os.environ.get("BW_PACK_V1"):
+            # fastest path: ONE COMPACT upload (v2, ~13 B/MB + sparse
+            # rows), persistent device DPB stacks updated in place
+            # inside a single jit call per picture; output delivered as
+            # a single u8 YUV buffer (host link is the bottleneck)
+            from . import packed as PK
+            lay = PK.get_packed_layout_v2(w, h)
+            if getattr(self, "_pack2_scratch", None) is None or \
+                    self._pack2_scratch.lay is not lay:
+                self._pack2_scratch = PK.PackScratchV2(lay)
+            res = PK.pack_picture_v2(pic, lay, self._pack2_scratch)
+            if res is not None:
+                self._ensure_stacks()
+                buf, kb, eb = res
+                dbuf = jax.device_put(buf)
+                slot = self.dpb.current.slot
+                y, cb, cr, yuv, self._stack_y, self._stack_c = \
+                    RT.decode_picture_packed2(
+                        dbuf, self._stack_y, self._stack_c, slot,
+                        self._steps, lay=lay, kb=kb, eb=eb,
+                        constrained_intra=pps.constrained_intra_pred,
+                        chroma_qp_offset=pps.chroma_qp_index_offset,
+                        mc=be, wf=wf)
+                return RT.TpuFrame(y, cb, cr, pad=False, yuv_u8=yuv)
+
         if nat.pack_available() and not os.environ.get("BW_NO_PACK"):
             # fast path: ONE packed upload, persistent device DPB stacks
             # updated in place inside a single jit call per picture

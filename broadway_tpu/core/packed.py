@@ -28,7 +28,8 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from ..bitstream.mb_layer import MB_I16x16, MB_IPCM, MB_P, PictureData
+from ..bitstream.mb_layer import (MB_I4x4, MB_I16x16, MB_IPCM, MB_P,
+                                  PictureData)
 
 
 class PackedLayout:
@@ -174,6 +175,267 @@ def unpack_arrs(buf, lay: PackedLayout, kb: int, constrained_intra: bool,
     chroma_dc = as_i32(dense[25 * n:26 * n, :8].reshape(n, 2, 4))
     ipcm = lax.bitcast_convert_type(
         dense[26 * n:38 * n].reshape(n, 192), jnp.uint8).reshape(n, 384)
+
+    # --- derived flags on device (fast path: every MB decoded) ---------
+    clsg = cls.reshape(h, w)
+    sidg = sid.reshape(h, w)
+    idcg = idc.reshape(h, w)
+
+    def nb_ok(dy, dx, constrained_block):
+        in_b = _shift_grid(jnp.ones((h, w), bool), dy, dx, False)
+        same = _shift_grid(sidg, dy, dx, -1) == sidg
+        ok = in_b & same
+        if constrained_block and constrained_intra:
+            ok = ok & (_shift_grid(clsg, dy, dx, MB_P) != MB_P)
+        return ok.reshape(n)
+
+    av_a = nb_ok(0, -1, True)
+    av_b = nb_ok(-1, 0, True)
+    av_c = nb_ok(-1, 1, True)
+    av_d = nb_ok(-1, -1, True)
+
+    enable = idc != 1
+
+    def db_nb(dy, dx):
+        in_b = _shift_grid(jnp.ones((h, w), bool), dy, dx, False)
+        same = _shift_grid(sidg, dy, dx, -1) == sidg
+        ok = in_b & ((idcg != 2) | same)
+        return ok.reshape(n)
+
+    FT = enable & db_nb(-1, 0)
+    FL = enable & db_nb(0, -1)
+
+    return {
+        "mb_class": cls,
+        "qp": qp,
+        "cbp": cbp,
+        "is_i16": cls == MB_I16x16,
+        "i16_mode": i16_mode,
+        "chroma_mode": chroma_mode,
+        "i4_modes": i4_modes,
+        "luma_coeffs": luma_coeffs,
+        "luma_dc": luma_dc,
+        "chroma_dc": chroma_dc,
+        "chroma_ac": chroma_ac,
+        "total_coeff": total_coeff,
+        "mv": mv,
+        "ref_blk": ref_blk,
+        "ipcm": ipcm,
+        "av_a": av_a, "av_b": av_b, "av_c": av_c, "av_d": av_d,
+        "offA": offA, "offB": offB,
+        "chroma_off_mb": jnp.full((n,), chroma_qp_offset, jnp.int32),
+        "FT": FT, "FL": FL, "enable": enable,
+        "is_inter": cls == MB_P,
+        "is_pcm": cls == MB_IPCM,
+        "whole_conceal": jnp.asarray(False),
+    }
+
+
+# ---------------------------------------------------------------------------
+# v2: COMPACT upload. The measured host<->device tunnel moves ~25 MB/s
+# half-duplex, so bytes/frame bound end-to-end fps. v2 drops the base
+# from 122 B/MB to 13 B/MB by making everything block-granular sparse:
+#   - mv/ref: one uniform (mv,ref) per MB + 80-byte exception rows for
+#     MBs with non-uniform partitions (rare outside dense B-free P8x8)
+#   - i4 modes: exception rows for I4x4 MBs with any nonzero mode
+#   - total_coeff: a 16-bit mask (deblock bS only needs tc>0)
+#   - per-slice deblock params: a 1024-entry table indexed by slice_id
+# Layout must match native bw_pack_picture2.
+# ---------------------------------------------------------------------------
+
+class PackedLayoutV2:
+    """Static buffer layout v2 for a (w_mbs, h_mbs) picture grid."""
+
+    SPT = 3 * 1024        # slice-param table bytes
+
+    def __init__(self, w_mbs: int, h_mbs: int) -> None:
+        self.w = w_mbs
+        self.h = h_mbs
+        n = w_mbs * h_mbs
+        self.n = n
+        self.base_size = 13 * n + self.SPT
+        self.NR = 38 * n                      # coeff sparse row space
+        self.NE = n                           # exception row space
+        self.idx_off = (self.base_size + 3) & ~3
+
+        def ladder(cap, start):
+            out = []
+            b = start
+            while b < cap:
+                out.append(b)
+                b *= 4
+            out.append(cap)
+            return out
+
+        self.kbuckets = ladder(self.NR, 4096)
+        self.ebuckets = ladder(self.NE, 512)
+
+    @staticmethod
+    def _pick(buckets, k):
+        for b in buckets:
+            if b >= k:
+                return b
+        return buckets[-1]
+
+    def bucket(self, k: int) -> int:
+        return self._pick(self.kbuckets, k)
+
+    def ebucket(self, e: int) -> int:
+        return self._pick(self.ebuckets, e)
+
+    def val_off(self, kb: int) -> int:
+        return self.idx_off + 4 * kb
+
+    def eidx_off(self, kb: int) -> int:
+        return (self.val_off(kb) + 32 * kb + 3) & ~3
+
+    def eval_off(self, kb: int, eb: int) -> int:
+        return self.eidx_off(kb) + 4 * eb
+
+    def total_size(self, kb: int, eb: int) -> int:
+        return self.eval_off(kb, eb) + 80 * eb
+
+    def __hash__(self):
+        return hash((self.w, self.h, "v2"))
+
+    def __eq__(self, other):
+        return isinstance(other, PackedLayoutV2) and \
+            (self.w, self.h) == (other.w, other.h)
+
+
+_LAYOUTS_V2: Dict[tuple, PackedLayoutV2] = {}
+
+
+def get_packed_layout_v2(w_mbs: int, h_mbs: int) -> PackedLayoutV2:
+    key = (w_mbs, h_mbs)
+    if key not in _LAYOUTS_V2:
+        _LAYOUTS_V2[key] = PackedLayoutV2(w_mbs, h_mbs)
+    return _LAYOUTS_V2[key]
+
+
+class PackScratchV2:
+    """Reusable host-side buffers for the native v2 packer."""
+
+    def __init__(self, lay: PackedLayoutV2) -> None:
+        self.lay = lay
+        self.base = np.empty(lay.base_size, np.uint8)
+        self.idx = np.empty(lay.NR, np.int32)
+        self.val = np.empty((lay.NR, 16), np.int16)
+        self.eidx = np.empty(lay.NE, np.int32)
+        self.eval_ = np.empty((lay.NE, 80), np.uint8)
+
+
+def pack_picture_v2(pic: PictureData, lay: PackedLayoutV2,
+                    scratch: PackScratchV2):
+    """Native pack + bucket-padded single-buffer assembly.
+    Returns (uint8 buffer, kb, eb), or None if the picture does not fit
+    the v2 format (caller falls back)."""
+    from ..bitstream.native import pack_picture2_native
+    if len(pic.slice_params) > 1024:
+        return None
+    k, e = pack_picture2_native(pic, scratch.base, scratch.idx,
+                                scratch.val, scratch.eidx, scratch.eval_)
+    kb = lay.bucket(k)
+    eb = lay.ebucket(e)
+    buf = np.empty(lay.total_size(kb, eb), np.uint8)
+    buf[:lay.base_size] = scratch.base
+    io = lay.idx_off
+    iv = buf[io:io + 4 * kb].view(np.int32)
+    iv[:k] = scratch.idx[:k]
+    iv[k:] = lay.NR          # out of range -> dropped by the scatter
+    vo = lay.val_off(kb)
+    vv = buf[vo:vo + 32 * kb].view(np.int16).reshape(kb, 16)
+    vv[:k] = scratch.val[:k]
+    eo = lay.eidx_off(kb)
+    ei = buf[eo:eo + 4 * eb].view(np.int32)
+    ei[:e] = scratch.eidx[:e]
+    ei[e:] = lay.NE
+    evo = lay.eval_off(kb, eb)
+    ev = buf[evo:evo + 80 * eb].reshape(eb, 80)
+    ev[:e] = scratch.eval_[:e]
+    return buf, kb, eb
+
+
+def unpack_arrs_v2(buf, lay: PackedLayoutV2, kb: int, eb: int,
+                   constrained_intra: bool, chroma_qp_offset: int) -> Dict:
+    """buf u8 (v2 layout) -> the per-MB tensor dict consumed by
+    decode_picture_impl. Twin of unpack_arrs for the compact format."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, w, h = lay.n, lay.w, lay.h
+
+    def seg(off, ln):
+        return lax.slice_in_dim(buf, off, off + ln, axis=0)
+
+    def as_i32(x):
+        return x.astype(jnp.int32)
+
+    def u8_i16(x):      # u8[2m] -> i16[m]
+        return lax.bitcast_convert_type(x.reshape(-1, 2), jnp.int16)
+
+    def u8_u16(x):
+        return lax.bitcast_convert_type(x.reshape(-1, 2), jnp.uint16)
+
+    def u8_i8(x):
+        return lax.bitcast_convert_type(x, jnp.int8)
+
+    cls = as_i32(seg(0, n))
+    qp = as_i32(seg(n, n))
+    cbp = as_i32(seg(2 * n, n))
+    modes = as_i32(seg(3 * n, n))
+    i16_mode = modes & 3
+    chroma_mode = (modes >> 2) & 3
+    sid = as_i32(u8_u16(seg(4 * n, 2 * n)))
+    tcm = as_i32(u8_u16(seg(6 * n, 2 * n)))
+    mv_mb = as_i32(u8_i16(seg(8 * n, 4 * n))).reshape(n, 2)
+    ref_mb = as_i32(u8_i8(seg(12 * n, n)))
+    spt = as_i32(u8_i8(seg(13 * n, lay.SPT))).reshape(1024, 3)
+
+    # total_coeff from the bitmask (bS only tests > 0)
+    bit = jnp.arange(16, dtype=jnp.int32)[None, :]
+    total_coeff = ((tcm[:, None] >> bit) & 1).reshape(n, 4, 4)
+
+    # per-slice deblock params via table lookup
+    sidc = jnp.clip(sid, 0, 1023)
+    idc = jnp.take(spt[:, 0], sidc)
+    offA = jnp.take(spt[:, 1], sidc)
+    offB = jnp.take(spt[:, 2], sidc)
+
+    # coefficient scatter (identical to v1)
+    idx = lax.bitcast_convert_type(
+        seg(lay.idx_off, 4 * kb).reshape(kb, 4), jnp.int32)
+    vals = u8_i16(seg(lay.val_off(kb), 32 * kb)).reshape(kb, 16)
+    dense = jnp.zeros((lay.NR, 16), jnp.int16)
+    dense = dense.at[idx].set(vals, mode="drop", unique_indices=True)
+    luma_coeffs = as_i32(dense[:16 * n]).reshape(n, 4, 4, 16)
+    chroma_ac = as_i32(dense[16 * n:24 * n]).reshape(n, 2, 2, 2, 16)
+    luma_dc = as_i32(dense[24 * n:25 * n].reshape(n, 16))
+    chroma_dc = as_i32(dense[25 * n:26 * n, :8].reshape(n, 2, 4))
+    ipcm = lax.bitcast_convert_type(
+        dense[26 * n:38 * n].reshape(n, 192), jnp.uint8).reshape(n, 384)
+
+    # exception scatter: mv/ref grids or i4 modes
+    eidx = lax.bitcast_convert_type(
+        seg(lay.eidx_off(kb), 4 * eb).reshape(eb, 4), jnp.int32)
+    evals = seg(lay.eval_off(kb, eb), 80 * eb).reshape(eb, 80)
+    edense = jnp.zeros((lay.NE, 80), jnp.uint8)
+    edense = edense.at[eidx].set(evals, mode="drop", unique_indices=True)
+    has_exc = jnp.zeros((lay.NE,), jnp.bool_) \
+        .at[eidx].set(True, mode="drop")
+    exc_mv = as_i32(lax.bitcast_convert_type(
+        edense[:, :64].reshape(n, 32, 2), jnp.int16)).reshape(n, 4, 4, 2)
+    exc_ref = as_i32(u8_i8(edense[:, 64:80])).reshape(n, 4, 4)
+    exc_i4 = as_i32(edense[:, 0:16]).reshape(n, 4, 4)
+
+    is_i4 = cls == MB_I4x4
+    mv_exc = has_exc & ~is_i4
+    mv = jnp.where(mv_exc[:, None, None, None], exc_mv,
+                   jnp.broadcast_to(mv_mb[:, None, None, :], (n, 4, 4, 2)))
+    ref_blk = jnp.where(mv_exc[:, None, None], exc_ref,
+                        jnp.broadcast_to(ref_mb[:, None, None], (n, 4, 4)))
+    i4_modes = jnp.where((has_exc & is_i4)[:, None, None], exc_i4, 0)
 
     # --- derived flags on device (fast path: every MB decoded) ---------
     clsg = cls.reshape(h, w)

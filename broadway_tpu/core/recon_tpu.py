@@ -131,6 +131,36 @@ class WavefrontLayout:
                         jnp.asarray(addr), axis=0)
         return flat.reshape((batch * self.S, self.LS) + a.shape[1:])
 
+    def _ls_addr(self, batch: int) -> np.ndarray:
+        """Slot-addr table for LANE-axis stream batching:
+        out[d, b*LS + l] = stream b's MB at (row d, lane l)."""
+        key = ("ls", batch)
+        cache = getattr(self, "_addr_cache", None)
+        if cache is None:
+            cache = self._addr_cache = {}
+        if key not in cache:
+            n = self.w * self.h
+            per = self.slot_addr.reshape(self.S, self.LS)
+            cols = [np.where(per == n, batch * n, per + b * n)
+                    for b in range(batch)]
+            cache[key] = np.concatenate(cols, axis=1).reshape(-1)
+        return cache[key]
+
+    def pack_dev_ls(self, a: jnp.ndarray, batch: int) -> jnp.ndarray:
+        """[B*n, ...] -> [S, B*LS, ...]: streams side by side on the
+        LANE axis. The diagonal step count stays S (not B*S), so the
+        sequential wavefront cost is amortized over B streams — the
+        multi-stream scaling axis for the Pallas kernels. Cross-stream
+        lane bleed at block seams is masked by the per-MB availability
+        / filter flags, exactly like picture borders."""
+        if batch == 1:
+            return self.pack_dev(a)
+        n = self.w * self.h
+        fill = jnp.zeros((1,) + a.shape[1:], a.dtype)
+        flat = jnp.take(jnp.concatenate([a, fill], axis=0),
+                        jnp.asarray(self._ls_addr(batch)), axis=0)
+        return flat.reshape((self.S, batch * self.LS) + a.shape[1:])
+
 
 _LAYOUTS: Dict[tuple, WavefrontLayout] = {}
 
@@ -144,17 +174,23 @@ def get_layout(w_mbs: int, h_mbs: int) -> WavefrontLayout:
 
 class TpuFrame:
     """Device-resident decoded picture: int32 planes + the MC kernel's
-    reference-plane copies (extended padded luma, interleaved chroma)."""
+    reference-plane copies (extended padded luma, interleaved chroma).
+    When the decode emitted a packed u8 YUV buffer (yuv_u8), tobytes()
+    fetches that single buffer — one 1.5 B/pixel transfer instead of
+    three int32 planes (4x fewer bytes over the host link)."""
 
-    __slots__ = ("y", "cb", "cr", "y_pad", "c_pad")
+    __slots__ = ("y", "cb", "cr", "y_pad", "c_pad", "yuv_u8")
 
-    def __init__(self, y, cb, cr, pad=True):
+    def __init__(self, y, cb, cr, pad=True, yuv_u8=None):
         self.y, self.cb, self.cr = y, cb, cr
+        self.yuv_u8 = yuv_u8
         if pad:
             self.y_pad = K_mcp.pad_luma(y)
             self.c_pad = K_mcp.pad_chroma(cb, cr)
 
     def tobytes(self) -> bytes:
+        if self.yuv_u8 is not None:
+            return np.asarray(self.yuv_u8).tobytes()
         return (np.asarray(self.y).astype(np.uint8).tobytes() +
                 np.asarray(self.cb).astype(np.uint8).tobytes() +
                 np.asarray(self.cr).astype(np.uint8).tobytes())
@@ -417,10 +453,15 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                                   jnp.clip(pred_cr + res_cr_mb, 0, 255), 0))
 
     # ---- Pallas wavefront path: intra + deblock kernels ----------------
+    # Streams batch along the LANE axis ([S, B*LS, ...]): the diagonal
+    # step count stays S, so B streams amortize the sequential
+    # wavefront — the multi-stream scaling axis (cross-stream lane
+    # bleed is masked by availability/filter flags like picture
+    # borders, so masked edges stay bit-exact).
     if wf in ("pallas", "pallas_interp"):
         interp = wf == "pallas_interp"
         from ..ops.tpu import wavefront_pallas as K_wf
-        pk = lambda a: lay.pack_dev(a, batch)
+        pk = lambda a: lay.pack_dev_ls(a, batch)
         Yf = pk(base_y.reshape(N, 256))
         Cf = pk(jnp.concatenate([base_cb.reshape(N, 64),
                                  base_cr.reshape(N, 64)], axis=1))
@@ -431,9 +472,12 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                     _unpack_to_plane(CRp, lay, 8))
 
         def unpack(Yf, Cf):
-            Yp = Yf.reshape(batch, S, LS, 16, 16)
-            CBp = Cf[:, :, 0:64].reshape(batch, S, LS, 8, 8)
-            CRp = Cf[:, :, 64:128].reshape(batch, S, LS, 8, 8)
+            # [S, B*LS, ...] -> per-stream [B, S, LS, ...]
+            Yp = Yf.reshape(S, batch, LS, 256).transpose(1, 0, 2, 3) \
+                .reshape(batch, S, LS, 16, 16)
+            Cp = Cf.reshape(S, batch, LS, 128).transpose(1, 0, 2, 3)
+            CBp = Cp[:, :, :, 0:64].reshape(batch, S, LS, 8, 8)
+            CRp = Cp[:, :, :, 64:128].reshape(batch, S, LS, 8, 8)
             out = jax.vmap(unpack1)(Yp, CBp, CRp)
             if batch == 1:
                 return out[0][0], out[1][0], out[2][0]
@@ -463,11 +507,13 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                 run_db, (Yf, Cf))
         else:
             Yd, Cd = run_db((Yf, Cf))
-            wc = arrs["whole_conceal"].reshape(batch, 1, 1, 1)
-            Yf = jnp.where(wc, Yf.reshape(batch, S, LS, 256),
-                           Yd.reshape(batch, S, LS, 256))                 .reshape(batch * S, LS, 256)
-            Cf = jnp.where(wc, Cf.reshape(batch, S, LS, 128),
-                           Cd.reshape(batch, S, LS, 128))                 .reshape(batch * S, LS, 128)
+            wc = arrs["whole_conceal"].reshape(1, batch, 1)
+            Yf = jnp.where(wc, Yf.reshape(S, batch, LS * 256),
+                           Yd.reshape(S, batch, LS * 256)) \
+                .reshape(S, batch * LS, 256)
+            Cf = jnp.where(wc, Cf.reshape(S, batch, LS * 128),
+                           Cd.reshape(S, batch, LS * 128)) \
+                .reshape(S, batch * LS, 128)
         return unpack(Yf, Cf)
 
     # ---- device-side pack into the wavefront layout -------------------
@@ -844,7 +890,7 @@ def default_mc_backend(device=None) -> str:
 decode_picture = functools.partial(
     jax.jit, static_argnames=("w_mbs", "h_mbs", "chroma_qp_offset",
                               "run_stages", "mc", "mb0", "ref_h_mbs",
-                              "wf"))(
+                              "wf", "batch"))(
                                   decode_picture_impl)
 
 
@@ -880,6 +926,35 @@ def decode_picture_packed(buf, ref_y, ref_c, slot, steps, *,
     ref_c = jax.lax.dynamic_update_index_in_dim(
         ref_c, K_mcp.pad_chroma(cb, cr), slot, axis=0)
     return y, cb, cr, ref_y, ref_c
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lay", "kb", "eb", "constrained_intra",
+                     "chroma_qp_offset", "mc", "wf"),
+    donate_argnums=(1, 2))
+def decode_picture_packed2(buf, ref_y, ref_c, slot, steps, *,
+                           lay, kb: int, eb: int, constrained_intra: bool,
+                           chroma_qp_offset: int, mc: str, wf: str):
+    """End-to-end fast path, COMPACT v2 upload (core/packed.py v2):
+    one small packed buffer in, persistent DPB ref-plane stacks updated
+    in place (donated), decoded planes out — plus a single u8 YUV
+    buffer so host delivery is one minimal-size fetch."""
+    from .packed import unpack_arrs_v2
+    arrs = unpack_arrs_v2(buf, lay, kb, eb, constrained_intra,
+                          chroma_qp_offset)
+    y, cb, cr = decode_picture_impl(
+        arrs, ref_y, ref_c, steps, w_mbs=lay.w, h_mbs=lay.h,
+        chroma_qp_offset=chroma_qp_offset, mc=mc, wf=wf)
+    ref_y = jax.lax.dynamic_update_index_in_dim(
+        ref_y, K_mcp.pad_luma(y), slot, axis=0)
+    ref_c = jax.lax.dynamic_update_index_in_dim(
+        ref_c, K_mcp.pad_chroma(cb, cr), slot, axis=0)
+    yuv = jnp.concatenate(
+        [y.astype(jnp.uint8).reshape(-1),
+         cb.astype(jnp.uint8).reshape(-1),
+         cr.astype(jnp.uint8).reshape(-1)])
+    return y, cb, cr, yuv, ref_y, ref_c
 
 
 def ref_stacks(dpb_buffer, width: int, height: int):

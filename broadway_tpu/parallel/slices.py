@@ -244,6 +244,137 @@ def make_sliced_decoder(mesh: Mesh, w_mbs: int, h_mbs: int, n_bands: int,
     return jax.jit(sharded)
 
 
+def decode_picture_sliced2d_impl(barrs, ref_y, ref_c, steps,
+                                 w_mbs, hb_mbs, chroma_qp_offset,
+                                 dp_axis: str = "dp", sp_axis: str = "sp",
+                                 mc: str = "xla", h_mbs_full: int = None):
+    """shard_map body over a 2-D (dp x sp) mesh: dp shards independent
+    STREAMS (the multi-host/DCN analogue — no cross-stream comm at
+    all), sp shards each picture's MB-row bands (ICI all_gather
+    rebuilds full reference frames per stream)."""
+    band = jax.lax.axis_index(sp_axis)
+    arrs = jax.tree_util.tree_map(lambda x: x[0, 0], barrs)
+    y, cb, cr = RT.decode_picture_impl(
+        arrs, ref_y[0], ref_c[0], steps,
+        w_mbs=w_mbs, h_mbs=hb_mbs, chroma_qp_offset=chroma_qp_offset,
+        mc=mc, mb0=band * hb_mbs * w_mbs, ref_h_mbs=h_mbs_full)
+    # ICI copySlice within the stream; nothing crosses dp (DCN) rows
+    fy = jax.lax.all_gather(y, sp_axis)
+    fcb = jax.lax.all_gather(cb, sp_axis)
+    fcr = jax.lax.all_gather(cr, sp_axis)
+    H = fy.shape[0] * fy.shape[1]
+    return (fy.reshape(H, -1)[None], fcb.reshape(H // 2, -1)[None],
+            fcr.reshape(H // 2, -1)[None])
+
+
+def make_sliced_decoder_2d(mesh: Mesh, w_mbs: int, h_mbs: int,
+                           n_bands: int, chroma_qp_offset: int,
+                           dp_axis: str = "dp", sp_axis: str = "sp"):
+    """jitted fn(banded_arrs [S, n_bands, ...], ref_y [S, ...],
+    ref_c [S, ...], steps) -> full planes [S, H, W] (dp-sharded)."""
+    from jax import shard_map
+
+    hb = h_mbs // n_bands
+    fn = functools.partial(decode_picture_sliced2d_impl, w_mbs=w_mbs,
+                           hb_mbs=hb, chroma_qp_offset=chroma_qp_offset,
+                           dp_axis=dp_axis, sp_axis=sp_axis,
+                           h_mbs_full=h_mbs,
+                           mc=RT.default_mc_backend(
+                               mesh.devices.flat[0]))
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(dp_axis, sp_axis), P(dp_axis), P(dp_axis), P()),
+        out_specs=(P(dp_axis), P(dp_axis), P(dp_axis)), check_vma=False)
+    return jax.jit(sharded)
+
+
+def decode_streams_sliced_dp(datas: List[bytes], mesh: Mesh,
+                             n_bands: int) -> List[List[bytes]]:
+    """Lockstep end-to-end decode of N same-geometry streams on a 2-D
+    (dp x sp) mesh: stream i owns dp row i, its pictures band-sharded
+    over sp. The TPU analogue of the reference's multi-worker,
+    multi-player matrix (storyDemo.html) with sliceMode inside each
+    player. Returns per-stream display-order YUV bytes; per-axis comm
+    volume comes from comm_volume_2d()."""
+    import threading
+
+    import broadway_tpu.core.decoder as DEC
+
+    S = len(datas)
+    assert S == mesh.shape["dp"], (S, dict(mesh.shape))
+    barrier = threading.Barrier(S)
+    staging = [None] * S
+    results = [None] * S
+    decoder_fn = {}
+    errors = []
+
+    def make_recon(i):
+        def recon(self, pic):
+            sps, pps = self.sps, self.pps
+            w, h = sps.width_mbs, sps.height_mbs
+            barrs = band_host_arrays(pic, n_bands,
+                                     pps.chroma_qp_index_offset,
+                                     pps.constrained_intra_pred)
+            ref_y, ref_c = RT.ref_stacks(self.dpb.buffer, sps.width,
+                                         sps.height)
+            staging[i] = (barrs, ref_y, ref_c, w, h,
+                          pps.chroma_qp_index_offset)
+            barrier.wait()
+            if i == 0:
+                barrs_all = {k: jnp.stack([staging[s][0][k]
+                                           for s in range(S)])
+                             for k in staging[0][0]}
+                sry = jnp.stack([staging[s][1] for s in range(S)])
+                src = jnp.stack([staging[s][2] for s in range(S)])
+                key = (w, h)
+                if key not in decoder_fn:
+                    decoder_fn[key] = make_sliced_decoder_2d(
+                        mesh, w, h, n_bands, staging[0][5])
+                steps = {k: jnp.asarray(v)
+                         for k, v in RT.step_tables(
+                             w, h // n_bands).items()}
+                y, cb, cr = decoder_fn[key](barrs_all, sry, src, steps)
+                for s in range(S):
+                    results[s] = (y[s], cb[s], cr[s])
+            barrier.wait()
+            y, cb, cr = results[i]
+            return RT.TpuFrame(y, cb, cr)
+        return recon
+
+    outs = [None] * S
+
+    def run(i):
+        try:
+            dec = DEC.Decoder(backend="cpu", recon_strategy=make_recon(i))
+            outs[i] = [o.frame.tobytes()
+                       for o in dec.decode_annexb(datas[i])]
+        except Exception as e:           # release peers on failure
+            errors.append(e)
+            barrier.abort()
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(S)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return outs
+
+
+def comm_volume_2d(w_mbs: int, h_mbs: int, n_bands: int,
+                   n_streams: int) -> dict:
+    """Per-picture communication volume by mesh axis (bytes, int32
+    planes): sp carries the band all_gather (ICI); dp carries nothing
+    (streams are independent — the DCN-friendly axis)."""
+    H, W = h_mbs * 16, w_mbs * 16
+    plane = H * W + 2 * (H // 2) * (W // 2)
+    gathered = plane * 4 * (n_bands - 1) // n_bands   # recv per chip
+    return {"sp_bytes_per_pic_per_chip": gathered,
+            "dp_bytes_per_pic": 0,
+            "streams": n_streams, "bands": n_bands}
+
+
 def _bands_aligned(pic: PictureData, n_bands: int) -> bool:
     """True if every slice lies within one MB-row band (the recon
     independence precondition for band sharding)."""

@@ -1060,3 +1060,163 @@ extern "C" int bw_pack_picture(const PicBuffers* pb, i32 n,
     *out_k = (i32)k;
     return 0;
 }
+
+// ---------------------------------------------------------------------------
+// bw_pack_picture2: COMPACT single-upload buffer (v2). The host->device
+// tunnel is the decode bottleneck (~25 MB/s half-duplex measured), so
+// the per-MB payload drops from 122 B to 13 B by moving everything
+// block-granular into sparse exception rows:
+//
+// Base sections (byte offsets, n = number of MBs):
+//   0*n  mb_class u8         4*n  slice_id u16   [4n,6n)
+//   1*n  qp u8               6*n  tcmask u16     [6n,8n)  bit b=by*4+bx
+//   2*n  cbp u8              8*n  mv i16[n][2]   [8n,12n) uniform MB MV
+//   3*n  modes u8            12*n ref i8         [12n,13n)
+//        (i16_mode | chroma_mode<<2)
+//   13*n slice-param table i8[1024][3] (idc, offA, offB), indexed by
+//        slice_id on device (was 3 bytes/MB)
+//
+// Sparse coefficient rows: index space identical to bw_pack_picture.
+// Sparse EXCEPTION rows (80-byte payload, one per MB that needs it):
+//   inter MB, non-uniform mv/ref: mv i16[16][2] + ref i8[16]
+//   I4x4 MB, any nonzero mode:    i4_modes u8[16] + zero pad
+// ---------------------------------------------------------------------------
+
+extern "C" int bw_pack_picture2(const PicBuffers* pb, i32 n,
+                                const i32* sp, i32 n_sp,
+                                u8* base, i32* sp_idx, i16* sp_val,
+                                i32* exc_idx, u8* exc_val,
+                                i32* out_k, i32* out_e) {
+    u8* o_cls = base;
+    u8* o_qp = base + (size_t)n;
+    u8* o_cbp = base + 2 * (size_t)n;
+    u8* o_modes = base + 3 * (size_t)n;
+    u16* o_sid = (u16*)(base + 4 * (size_t)n);
+    u16* o_tcm = (u16*)(base + 6 * (size_t)n);
+    i16* o_mv = (i16*)(base + 8 * (size_t)n);
+    int8_t* o_ref = (int8_t*)(base + 12 * (size_t)n);
+    int8_t* o_spt = (int8_t*)(base + 13 * (size_t)n);  // [1024][3]
+
+    for (int i = 0; i < 1024; i++) {
+        if (i < n_sp) {
+            o_spt[3 * i] = (int8_t)sp[3 * i];
+            o_spt[3 * i + 1] = (int8_t)sp[3 * i + 1];
+            o_spt[3 * i + 2] = (int8_t)sp[3 * i + 2];
+        } else {
+            o_spt[3 * i] = o_spt[3 * i + 1] = o_spt[3 * i + 2] = 0;
+        }
+    }
+
+    const i64 CH0 = 16 * (i64)n, LDC0 = 24 * (i64)n, CDC0 = 25 * (i64)n,
+              PCM0 = 26 * (i64)n;
+    i64 k = 0, e = 0;
+    for (i32 a = 0; a < n; a++) {
+        int cls = pb->mb_class[a];
+        o_cls[a] = (u8)cls;
+        o_qp[a] = (u8)pb->qp[a];
+        o_cbp[a] = (u8)pb->cbp[a];
+        o_modes[a] = (u8)((pb->i16_mode[a] & 3) |
+                          ((pb->chroma_mode[a] & 3) << 2));
+        int sid = pb->slice_id[a];
+        o_sid[a] = (u16)(sid < 0 ? 0 : (sid > 1023 ? 1023 : sid));
+
+        u16 m = 0;
+        for (int b = 0; b < 16; b++)
+            if (pb->total_coeff[(i64)a * 16 + b] > 0) m |= (u16)(1u << b);
+        o_tcm[a] = m;
+
+        const i32* mv = pb->mv + (i64)a * 32;
+        const i32* rs = pb->ref_slot + (i64)a * 4;
+        i32 mvx0 = mv[0], mvy0 = mv[1], ref0 = rs[0];
+        bool uniform = true;
+        for (int b = 1; b < 16 && uniform; b++)
+            uniform = mv[2 * b] == mvx0 && mv[2 * b + 1] == mvy0;
+        if (uniform)
+            uniform = rs[1] == ref0 && rs[2] == ref0 && rs[3] == ref0;
+        o_mv[2 * (i64)a] = (i16)mvx0;
+        o_mv[2 * (i64)a + 1] = (i16)mvy0;
+        o_ref[a] = (int8_t)ref0;
+
+        if (cls == MB_I4x4) {
+            const i32* im = pb->i4_modes + (i64)a * 16;
+            bool nz = false;
+            for (int b = 0; b < 16; b++) nz |= im[b] != 0;
+            if (nz) {
+                exc_idx[e] = a;
+                u8* d = exc_val + e * 80;
+                for (int b = 0; b < 16; b++) d[b] = (u8)im[b];
+                for (int b = 16; b < 80; b++) d[b] = 0;
+                e++;
+            }
+        } else if (!uniform) {
+            exc_idx[e] = a;
+            i16* dmv = (i16*)(exc_val + e * 80);
+            for (int b = 0; b < 16; b++) {
+                dmv[2 * b] = (i16)mv[2 * b];
+                dmv[2 * b + 1] = (i16)mv[2 * b + 1];
+            }
+            int8_t* dref = (int8_t*)(exc_val + e * 80 + 64);
+            for (int b = 0; b < 16; b++) {
+                int by = b >> 2, bx = b & 3;
+                dref[b] = (int8_t)rs[(by >> 1) * 2 + (bx >> 1)];
+            }
+            e++;
+        }
+
+        for (int b = 0; b < 16; b++) {
+            if (pb->total_coeff[(i64)a * 16 + b] > 0) {
+                sp_idx[k] = (i32)((i64)a * 16 + b);
+                const i32* src = pb->luma_coeffs + ((i64)a * 16 + b) * 16;
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 16; t++) dst[t] = (i16)src[t];
+                k++;
+            }
+        }
+        for (int cb = 0; cb < 8; cb++) {
+            if (pb->chroma_total_coeff[(i64)a * 8 + cb] > 0) {
+                sp_idx[k] = (i32)(CH0 + (i64)a * 8 + cb);
+                const i32* src = pb->chroma_ac + ((i64)a * 8 + cb) * 16;
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 16; t++) dst[t] = (i16)src[t];
+                k++;
+            }
+        }
+        if (cls == MB_I16x16) {
+            const i32* src = pb->luma_dc + (i64)a * 16;
+            bool nz = false;
+            for (int t = 0; t < 16; t++) nz |= src[t] != 0;
+            if (nz) {
+                sp_idx[k] = (i32)(LDC0 + a);
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 16; t++) dst[t] = (i16)src[t];
+                k++;
+            }
+        }
+        if ((pb->cbp[a] >> 4) > 0) {
+            const i32* src = pb->chroma_dc + (i64)a * 8;
+            bool nz = false;
+            for (int t = 0; t < 8; t++) nz |= src[t] != 0;
+            if (nz) {
+                sp_idx[k] = (i32)(CDC0 + a);
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 8; t++) dst[t] = (i16)src[t];
+                for (int t = 8; t < 16; t++) dst[t] = 0;
+                k++;
+            }
+        }
+        if (cls == MB_IPCM) {
+            const u8* src = pb->ipcm + (i64)a * 384;
+            for (int j = 0; j < 12; j++) {
+                sp_idx[k] = (i32)(PCM0 + (i64)a * 12 + j);
+                i16* dst = sp_val + k * 16;
+                for (int t = 0; t < 16; t++)
+                    dst[t] = (i16)(u16)(src[j * 32 + 2 * t] |
+                                        (src[j * 32 + 2 * t + 1] << 8));
+                k++;
+            }
+        }
+    }
+    *out_k = (i32)k;
+    *out_e = (i32)e;
+    return 0;
+}

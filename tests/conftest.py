@@ -21,6 +21,12 @@ os.environ.setdefault(
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8",
 )
 
+try:    # env-var cache config is unreliable here; set it explicitly
+    from broadway_tpu.utils.cache import ensure_compile_cache
+    ensure_compile_cache()
+except Exception:
+    pass
+
 
 def _ensure_oracle():
     dectest = os.path.join(ORACLE_DIR, "dectest")

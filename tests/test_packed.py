@@ -70,6 +70,42 @@ def test_unpack_matches_host_arrays(name):
                 name, k, np.argwhere(g != w)[:4])
 
 
+@pytest.mark.skipif(not nat.pack2_available(),
+                    reason="native v2 packer absent")
+@pytest.mark.parametrize("name", sorted(STREAMS))
+def test_unpack_v2_matches_host_arrays(name):
+    """The COMPACT (v2) upload format must reproduce host_picture_arrays
+    bit-for-bit — except total_coeff, where only tc>0 is shipped (the
+    pipeline only tests > 0, for deblock boundary strengths)."""
+    import jax
+
+    from broadway_tpu.core import packed as PK
+    from broadway_tpu.core import recon_tpu as RT
+
+    data = STREAMS[name]()
+    pics = _collect_pics(data)
+    assert pics
+    for pic, pps in pics:
+        lay = PK.get_packed_layout_v2(pic.width_mbs, pic.height_mbs)
+        scratch = PK.PackScratchV2(lay)
+        buf, kb, eb = PK.pack_picture_v2(pic, lay, scratch)
+
+        cqo = pps.chroma_qp_index_offset
+        ci = pps.constrained_intra_pred
+        got = jax.jit(
+            lambda b: PK.unpack_arrs_v2(b, lay, kb, eb, ci, cqo))(buf)
+        want = RT.host_picture_arrays(pic, cqo, ci)
+        assert set(got) == set(want)
+        for k in want:
+            g = np.asarray(got[k]).astype(np.int64)
+            w = np.asarray(want[k]).astype(np.int64)
+            if k == "total_coeff":
+                g, w = g > 0, w > 0
+            assert g.shape == w.shape, (name, k, g.shape, w.shape)
+            assert np.array_equal(g, w), (
+                name, k, np.argwhere(g != w)[:4])
+
+
 @pytest.mark.skipif(not nat.pack_available(), reason="native packer absent")
 def test_packed_e2e_golden(tmp_path, oracle_dectest):
     """End-to-end TPU-backend decode through the packed path vs oracle."""

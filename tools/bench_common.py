@@ -29,6 +29,27 @@ def bench_stream(width_mbs, height_mbs, n_frames=4, seed=909):
     return data
 
 
+def realistic_bench_stream(width_mbs=120, height_mbs=68, n_frames=16,
+                           n_slices=8, seed=4242):
+    """Generate (and cache) the realistic-statistics bench stream:
+    multi-slice, idc 0, multi-ref, mostly-skip with sparse residuals
+    (tools/streams.realistic_stream)."""
+    cache = os.path.join(
+        REPO, "build",
+        f"bench_real_{width_mbs}x{height_mbs}_{n_frames}.h264")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return f.read()
+    import streams
+    data, _ = streams.realistic_stream(
+        width_mbs=width_mbs, height_mbs=height_mbs, n_frames=n_frames,
+        n_slices=n_slices, seed=seed)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    with open(cache, "wb") as f:
+        f.write(data)
+    return data
+
+
 def parse_pictures(data, max_pics=None):
     """Run the host front-end; returns list of
     (host_arrays, w_mbs, h_mbs, chroma_qp_offset, n_ref_slots).
