@@ -78,8 +78,9 @@ def _load():
         lib.bw_pack_picture2.argtypes = [
             ct.POINTER(_PicBuffers), ct.c_int32, ct.c_void_p, ct.c_int32,
             ct.c_void_p, ct.c_void_p, ct.c_void_p,
-            ct.c_void_p, ct.c_void_p,
-            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32)]
+            ct.c_void_p, ct.c_void_p, ct.c_void_p, ct.c_void_p,
+            ct.POINTER(ct.c_int32), ct.POINTER(ct.c_int32),
+            ct.POINTER(ct.c_int32)]
     except AttributeError:
         pass   # stale .so without the packer; pack path stays off
     _lib = lib
@@ -143,11 +144,11 @@ def pack2_available() -> bool:
     return lib is not None and hasattr(lib, "bw_pack_picture2")
 
 
-def pack_picture2_native(pic: PictureData, base, idx, val,
-                         eidx, eval_) -> tuple:
+def pack_picture2_native(pic: PictureData, base, idx8, val8, idx16,
+                         val16, eidx, eval_) -> tuple:
     """Fill the COMPACT packed upload buffer (v2: 13 B/MB base +
-    slice-param table + sparse coefficient rows + sparse exception
-    rows). Returns (n coeff rows, n exception rows)."""
+    slice-param table + two-tier sparse coefficient rows (i8 / i16) +
+    sparse exception rows). Returns (n i8 rows, n i16 rows, n exc)."""
     import numpy as np
     lib = _load()
     assert lib is not None
@@ -155,14 +156,16 @@ def pack_picture2_native(pic: PictureData, base, idx, val,
     sp = np.array([[p.disable_deblocking_idc, p.alpha_c0_offset,
                     p.beta_offset] for p in pic.slice_params] or [[0, 0, 0]],
                   np.int32)
+    k8 = ct.c_int32(0)
     k = ct.c_int32(0)
     e = ct.c_int32(0)
     ret = lib.bw_pack_picture2(ct.byref(pb), pic.n_mbs, _ptr(sp), len(sp),
-                               _ptr(base), _ptr(idx), _ptr(val),
+                               _ptr(base), _ptr(idx8), _ptr(val8),
+                               _ptr(idx16), _ptr(val16),
                                _ptr(eidx), _ptr(eval_),
-                               ct.byref(k), ct.byref(e))
+                               ct.byref(k8), ct.byref(k), ct.byref(e))
     assert ret == 0
-    return int(k.value), int(e.value)
+    return int(k8.value), int(k.value), int(e.value)
 
 
 def pack_picture_native(pic: PictureData, base, idx, val) -> int:

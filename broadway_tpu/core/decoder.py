@@ -44,6 +44,12 @@ class OutputPicture:
     crop: Optional[tuple]
 
 
+# recon_strategy return sentinel: picture consumed, no frame produced
+# (collectors/analysis). Returning None instead DECLINES the picture ->
+# the built-in backend reconstructs it.
+SKIP_RECON = object()
+
+
 class _AubState:
     """Previous-NAL syntax values for AU boundary detection."""
 
@@ -390,14 +396,17 @@ class Decoder:
 
         num_err = pic.n_mbs - int(pic.decoded.sum())
         frame = None
+        skipped = False
         if num_err:
             frame = self._reconstruct_concealed(pic, num_err)
             num_err = int(pic.concealed.sum())
         elif self.recon_strategy is not None:
             # a strategy may decline a picture (returns None) -> fall
-            # back to the built-in backend below
+            # back to the built-in backend below; SKIP_RECON = consumed
             frame = self.recon_strategy(self, pic)
-        if frame is not None:
+            if frame is SKIP_RECON:
+                frame, skipped = None, True
+        if frame is not None or skipped:
             pass
         elif self.backend == "tpu":
             frame = self._reconstruct_tpu(pic)
@@ -547,13 +556,13 @@ class Decoder:
             res = PK.pack_picture_v2(pic, lay, self._pack2_scratch)
             if res is not None:
                 self._ensure_stacks()
-                buf, kb, eb = res
+                buf, bk = res
                 dbuf = jax.device_put(buf)
                 slot = self.dpb.current.slot
                 y, cb, cr, yuv, self._stack_y, self._stack_c = \
                     RT.decode_picture_packed2(
                         dbuf, self._stack_y, self._stack_c, slot,
-                        self._steps, lay=lay, kb=kb, eb=eb,
+                        self._steps, lay=lay, bk=bk,
                         constrained_intra=pps.constrained_intra_pred,
                         chroma_qp_offset=pps.chroma_qp_index_offset,
                         mc=be, wf=wf)

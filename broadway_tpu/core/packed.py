@@ -244,7 +244,12 @@ def unpack_arrs(buf, lay: PackedLayout, kb: int, constrained_intra: bool,
 # ---------------------------------------------------------------------------
 
 class PackedLayoutV2:
-    """Static buffer layout v2 for a (w_mbs, h_mbs) picture grid."""
+    """Static buffer layout v2 for a (w_mbs, h_mbs) picture grid.
+
+    Sections: 13 B/MB base | slice-param table | i8 coeff rows
+    (idx i32 + 16 x i8 = 20 B) | i16 coeff rows (36 B; large levels +
+    I_PCM) | exception rows (84 B). Each sparse section is padded to a
+    bucket size so jit signatures stay few."""
 
     SPT = 3 * 1024        # slice-param table bytes
 
@@ -258,17 +263,15 @@ class PackedLayoutV2:
         self.NE = n                           # exception row space
         self.idx_off = (self.base_size + 3) & ~3
 
-        def ladder(cap, start):
-            out = []
-            b = start
-            while b < cap:
-                out.append(b)
-                b *= 4
-            out.append(cap)
-            return out
+        def ladder(steps):
+            out = [b for b in steps if b < self.NR]
+            return out + [self.NR]
 
-        self.kbuckets = ladder(self.NR, 4096)
-        self.ebuckets = ladder(self.NE, 512)
+        self.k8buckets = ladder((4096, 8192, 16384, 32768, 65536,
+                                 262144))
+        self.k16buckets = ladder((512, 4096, 65536))
+        eb = [b for b in (512, 1024, 2048, 4096, 8192) if b < self.NE]
+        self.ebuckets = eb + [self.NE]
 
     @staticmethod
     def _pick(buckets, k):
@@ -277,23 +280,33 @@ class PackedLayoutV2:
                 return b
         return buckets[-1]
 
-    def bucket(self, k: int) -> int:
-        return self._pick(self.kbuckets, k)
+    def bucket8(self, k: int) -> int:
+        return self._pick(self.k8buckets, k)
+
+    def bucket16(self, k: int) -> int:
+        return self._pick(self.k16buckets, k)
 
     def ebucket(self, e: int) -> int:
         return self._pick(self.ebuckets, e)
 
-    def val_off(self, kb: int) -> int:
-        return self.idx_off + 4 * kb
+    # section offsets for bucket sizes (kb8, kb16, eb)
+    def val8_off(self, kb8: int) -> int:
+        return self.idx_off + 4 * kb8
 
-    def eidx_off(self, kb: int) -> int:
-        return (self.val_off(kb) + 32 * kb + 3) & ~3
+    def idx16_off(self, kb8: int) -> int:
+        return (self.val8_off(kb8) + 16 * kb8 + 3) & ~3
 
-    def eval_off(self, kb: int, eb: int) -> int:
-        return self.eidx_off(kb) + 4 * eb
+    def val16_off(self, kb8: int, kb16: int) -> int:
+        return self.idx16_off(kb8) + 4 * kb16
 
-    def total_size(self, kb: int, eb: int) -> int:
-        return self.eval_off(kb, eb) + 80 * eb
+    def eidx_off(self, kb8: int, kb16: int) -> int:
+        return (self.val16_off(kb8, kb16) + 32 * kb16 + 3) & ~3
+
+    def eval_off(self, kb8: int, kb16: int, eb: int) -> int:
+        return self.eidx_off(kb8, kb16) + 4 * eb
+
+    def total_size(self, kb8: int, kb16: int, eb: int) -> int:
+        return self.eval_off(kb8, kb16, eb) + 80 * eb
 
     def __hash__(self):
         return hash((self.w, self.h, "v2"))
@@ -319,6 +332,8 @@ class PackScratchV2:
     def __init__(self, lay: PackedLayoutV2) -> None:
         self.lay = lay
         self.base = np.empty(lay.base_size, np.uint8)
+        self.idx8 = np.empty(lay.NR, np.int32)
+        self.val8 = np.empty((lay.NR, 16), np.int8)
         self.idx = np.empty(lay.NR, np.int32)
         self.val = np.empty((lay.NR, 16), np.int16)
         self.eidx = np.empty(lay.NE, np.int32)
@@ -326,45 +341,103 @@ class PackScratchV2:
 
 
 def pack_picture_v2(pic: PictureData, lay: PackedLayoutV2,
-                    scratch: PackScratchV2):
+                    scratch: PackScratchV2, force=None):
     """Native pack + bucket-padded single-buffer assembly.
-    Returns (uint8 buffer, kb, eb), or None if the picture does not fit
-    the v2 format (caller falls back)."""
+    Returns (uint8 buffer, (kb8, kb16, eb)), or None if the picture
+    does not fit the v2 format (caller falls back). force pins the
+    bucket triple (lockstep batching shares one jit signature)."""
     from ..bitstream.native import pack_picture2_native
     if len(pic.slice_params) > 1024:
         return None
-    k, e = pack_picture2_native(pic, scratch.base, scratch.idx,
-                                scratch.val, scratch.eidx, scratch.eval_)
-    kb = lay.bucket(k)
-    eb = lay.ebucket(e)
-    buf = np.empty(lay.total_size(kb, eb), np.uint8)
+    k8, k, e = pack_picture2_native(pic, scratch.base, scratch.idx8,
+                                    scratch.val8, scratch.idx,
+                                    scratch.val, scratch.eidx,
+                                    scratch.eval_)
+    if force is not None:
+        kb8, kb16, eb = force
+        if k8 > kb8 or k > kb16 or e > eb:
+            return None
+    else:
+        kb8, kb16, eb = (lay.bucket8(k8), lay.bucket16(k),
+                         lay.ebucket(e))
+    buf = np.empty(lay.total_size(kb8, kb16, eb), np.uint8)
     buf[:lay.base_size] = scratch.base
+
     io = lay.idx_off
-    iv = buf[io:io + 4 * kb].view(np.int32)
+    iv = buf[io:io + 4 * kb8].view(np.int32)
+    iv[:k8] = scratch.idx8[:k8]
+    iv[k8:] = lay.NR         # out of range -> dropped by the scatter
+    vo = lay.val8_off(kb8)
+    buf[vo:vo + 16 * kb8].view(np.int8).reshape(kb8, 16)[:k8] = \
+        scratch.val8[:k8]
+
+    io = lay.idx16_off(kb8)
+    iv = buf[io:io + 4 * kb16].view(np.int32)
     iv[:k] = scratch.idx[:k]
-    iv[k:] = lay.NR          # out of range -> dropped by the scatter
-    vo = lay.val_off(kb)
-    vv = buf[vo:vo + 32 * kb].view(np.int16).reshape(kb, 16)
-    vv[:k] = scratch.val[:k]
-    eo = lay.eidx_off(kb)
+    iv[k:] = lay.NR
+    vo = lay.val16_off(kb8, kb16)
+    buf[vo:vo + 32 * kb16].view(np.int16).reshape(kb16, 16)[:k] = \
+        scratch.val[:k]
+
+    eo = lay.eidx_off(kb8, kb16)
     ei = buf[eo:eo + 4 * eb].view(np.int32)
     ei[:e] = scratch.eidx[:e]
     ei[e:] = lay.NE
-    evo = lay.eval_off(kb, eb)
-    ev = buf[evo:evo + 80 * eb].reshape(eb, 80)
-    ev[:e] = scratch.eval_[:e]
-    return buf, kb, eb
+    evo = lay.eval_off(kb8, kb16, eb)
+    buf[evo:evo + 80 * eb].reshape(eb, 80)[:e] = scratch.eval_[:e]
+    return buf, (kb8, kb16, eb)
 
 
-def unpack_arrs_v2(buf, lay: PackedLayoutV2, kb: int, eb: int,
+def expand_buf_v2(buf: np.ndarray, lay: PackedLayoutV2, bk: tuple,
+                  BK: tuple) -> np.ndarray:
+    """Re-bucket a packed v2 buffer to larger (kb8, kb16, eb) sections
+    (pad rows are index-out-of-range and dropped by the device
+    scatter). Used by lockstep batching to share one jit signature."""
+    if BK == bk:
+        return buf
+    kb8, kb16, eb = bk
+    K8, K16, EB = BK
+    out = np.empty(lay.total_size(K8, K16, EB), np.uint8)
+    out[:lay.base_size] = buf[:lay.base_size]
+
+    oi = out[lay.idx_off:lay.idx_off + 4 * K8].view(np.int32)
+    oi[:kb8] = buf[lay.idx_off:lay.idx_off + 4 * kb8].view(np.int32)
+    oi[kb8:] = lay.NR
+    out[lay.val8_off(K8):lay.val8_off(K8) + 16 * kb8] = \
+        buf[lay.val8_off(kb8):lay.val8_off(kb8) + 16 * kb8]
+
+    oi = out[lay.idx16_off(K8):lay.idx16_off(K8) + 4 * K16] \
+        .view(np.int32)
+    oi[:kb16] = buf[lay.idx16_off(kb8):
+                    lay.idx16_off(kb8) + 4 * kb16].view(np.int32)
+    oi[kb16:] = lay.NR
+    out[lay.val16_off(K8, K16):lay.val16_off(K8, K16) + 32 * kb16] = \
+        buf[lay.val16_off(kb8, kb16):
+            lay.val16_off(kb8, kb16) + 32 * kb16]
+
+    oe = out[lay.eidx_off(K8, K16):
+             lay.eidx_off(K8, K16) + 4 * EB].view(np.int32)
+    oe[:eb] = buf[lay.eidx_off(kb8, kb16):
+                  lay.eidx_off(kb8, kb16) + 4 * eb].view(np.int32)
+    oe[eb:] = lay.NE
+    out[lay.eval_off(K8, K16, EB):
+        lay.eval_off(K8, K16, EB) + 80 * eb] = \
+        buf[lay.eval_off(kb8, kb16, eb):
+            lay.eval_off(kb8, kb16, eb) + 80 * eb]
+    return out
+
+
+def unpack_arrs_v2(buf, lay: PackedLayoutV2, bk: tuple,
                    constrained_intra: bool, chroma_qp_offset: int) -> Dict:
     """buf u8 (v2 layout) -> the per-MB tensor dict consumed by
-    decode_picture_impl. Twin of unpack_arrs for the compact format."""
+    decode_picture_impl. Twin of unpack_arrs for the compact format.
+    bk = (kb8, kb16, eb) bucket sizes."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     n, w, h = lay.n, lay.w, lay.h
+    kb8, kb16, eb = bk
 
     def seg(off, ln):
         return lax.slice_in_dim(buf, off, off + ln, axis=0)
@@ -403,12 +476,18 @@ def unpack_arrs_v2(buf, lay: PackedLayoutV2, kb: int, eb: int,
     offA = jnp.take(spt[:, 1], sidc)
     offB = jnp.take(spt[:, 2], sidc)
 
-    # coefficient scatter (identical to v1)
-    idx = lax.bitcast_convert_type(
-        seg(lay.idx_off, 4 * kb).reshape(kb, 4), jnp.int32)
-    vals = u8_i16(seg(lay.val_off(kb), 32 * kb)).reshape(kb, 16)
+    # two-tier coefficient scatter into one dense i16 row space
+    idx8 = lax.bitcast_convert_type(
+        seg(lay.idx_off, 4 * kb8).reshape(kb8, 4), jnp.int32)
+    vals8 = u8_i8(seg(lay.val8_off(kb8), 16 * kb8)).reshape(kb8, 16)
+    idx16 = lax.bitcast_convert_type(
+        seg(lay.idx16_off(kb8), 4 * kb16).reshape(kb16, 4), jnp.int32)
+    vals16 = u8_i16(seg(lay.val16_off(kb8, kb16),
+                        32 * kb16)).reshape(kb16, 16)
     dense = jnp.zeros((lay.NR, 16), jnp.int16)
-    dense = dense.at[idx].set(vals, mode="drop", unique_indices=True)
+    dense = dense.at[idx8].set(vals8.astype(jnp.int16), mode="drop",
+                               unique_indices=True)
+    dense = dense.at[idx16].set(vals16, mode="drop", unique_indices=True)
     luma_coeffs = as_i32(dense[:16 * n]).reshape(n, 4, 4, 16)
     chroma_ac = as_i32(dense[16 * n:24 * n]).reshape(n, 2, 2, 2, 16)
     luma_dc = as_i32(dense[24 * n:25 * n].reshape(n, 16))
@@ -418,8 +497,8 @@ def unpack_arrs_v2(buf, lay: PackedLayoutV2, kb: int, eb: int,
 
     # exception scatter: mv/ref grids or i4 modes
     eidx = lax.bitcast_convert_type(
-        seg(lay.eidx_off(kb), 4 * eb).reshape(eb, 4), jnp.int32)
-    evals = seg(lay.eval_off(kb, eb), 80 * eb).reshape(eb, 80)
+        seg(lay.eidx_off(kb8, kb16), 4 * eb).reshape(eb, 4), jnp.int32)
+    evals = seg(lay.eval_off(kb8, kb16, eb), 80 * eb).reshape(eb, 80)
     edense = jnp.zeros((lay.NE, 80), jnp.uint8)
     edense = edense.at[eidx].set(evals, mode="drop", unique_indices=True)
     has_exc = jnp.zeros((lay.NE,), jnp.bool_) \

@@ -393,13 +393,19 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
     dc = K_res.luma_dc_transform(arrs["luma_dc"], qp)            # [N,4,4]
     coeffs = arrs["luma_coeffs"]                                 # [N,4,4,16]
     qp_b = jnp.broadcast_to(qp[:, None, None], (N, 4, 4))
-    res_full = K_res.dequant_idct(coeffs, qp_b)
-    res_i16 = K_res.dequant_idct(coeffs, qp_b, dc=dc.reshape(N, 16)
-                                 .reshape(N, 4, 4))
+    # ONE idct pass: for I16x16 MBs the DC position is replaced by the
+    # Hadamard-transformed DC; for others by the value dequant would
+    # produce anyway (coeff[scan 0] * scale[pos 0]) — bit-identical to
+    # the two-variant form at half the cost.
+    scale0 = (K_res._LS[qp % 6, K_res._PC[0]] << (qp // 6)) \
+        .astype(jnp.int32)
+    dc0 = coeffs[..., 0] * scale0[:, None, None]
+    dc_m = jnp.where(is_i16[:, None, None], dc, dc0)
+    res_m = K_res.dequant_idct(coeffs, qp_b, dc=dc_m)
     blk8 = (np.arange(4) // 2)[:, None] * 2 + (np.arange(4) // 2)[None, :]
     has = ((cbp[:, None, None] >> jnp.asarray(blk8)[None]) & 1) != 0
-    res = jnp.where(is_i16[:, None, None, None, None], res_i16,
-                    jnp.where(has[..., None, None], res_full, 0))
+    res = jnp.where((is_i16[:, None, None] | has)[..., None, None],
+                    res_m, 0)
     res_y_mb = res.transpose(0, 1, 3, 2, 4).reshape(N, 16, 16)
 
     qpc = K_res.QP_C_J[jnp.clip(qp + chroma_qp_offset, 0, 51)]
@@ -409,11 +415,11 @@ def decode_picture_impl(arrs: Dict[str, jnp.ndarray],
                     cdc.reshape(N, 2, 2, 2), 0)
     qpc_b = jnp.broadcast_to(qpc[:, None, None, None], (N, 2, 2, 2))
     cac = arrs["chroma_ac"]
+    # chroma AC rows exist only when cbp_c == 2 (parser invariant), so
+    # the DC-only variant equals this one with cac == 0 — one pass.
     cres_ac = K_res.dequant_idct(cac, qpc_b, dc=cdc)
-    cres_dc = K_res.dequant_idct(jnp.zeros_like(cac), qpc_b, dc=cdc)
-    has_ac = (cbp_c == 2)[:, None, None, None, None, None]
     has_any = (cbp_c > 0)[:, None, None, None, None, None]
-    cres = jnp.where(has_any, jnp.where(has_ac, cres_ac, cres_dc), 0)
+    cres = jnp.where(has_any, cres_ac, 0)
     res_cb_mb = cres[:, 0].transpose(0, 1, 3, 2, 4).reshape(N, 8, 8)
     res_cr_mb = cres[:, 1].transpose(0, 1, 3, 2, 4).reshape(N, 8, 8)
 
@@ -930,18 +936,18 @@ def decode_picture_packed(buf, ref_y, ref_c, slot, steps, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lay", "kb", "eb", "constrained_intra",
+    static_argnames=("lay", "bk", "constrained_intra",
                      "chroma_qp_offset", "mc", "wf"),
     donate_argnums=(1, 2))
 def decode_picture_packed2(buf, ref_y, ref_c, slot, steps, *,
-                           lay, kb: int, eb: int, constrained_intra: bool,
+                           lay, bk: tuple, constrained_intra: bool,
                            chroma_qp_offset: int, mc: str, wf: str):
     """End-to-end fast path, COMPACT v2 upload (core/packed.py v2):
     one small packed buffer in, persistent DPB ref-plane stacks updated
     in place (donated), decoded planes out — plus a single u8 YUV
     buffer so host delivery is one minimal-size fetch."""
     from .packed import unpack_arrs_v2
-    arrs = unpack_arrs_v2(buf, lay, kb, eb, constrained_intra,
+    arrs = unpack_arrs_v2(buf, lay, bk, constrained_intra,
                           chroma_qp_offset)
     y, cb, cr = decode_picture_impl(
         arrs, ref_y, ref_c, steps, w_mbs=lay.w, h_mbs=lay.h,
@@ -954,6 +960,51 @@ def decode_picture_packed2(buf, ref_y, ref_c, slot, steps, *,
         [y.astype(jnp.uint8).reshape(-1),
          cb.astype(jnp.uint8).reshape(-1),
          cr.astype(jnp.uint8).reshape(-1)])
+    return y, cb, cr, yuv, ref_y, ref_c
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lay", "bk", "constrained_intra",
+                     "chroma_qp_offset", "mc", "wf", "batch"),
+    donate_argnums=(1, 2))
+def decode_pictures_packed_batch(bufs, ref_y, ref_c, slots, steps, *,
+                                 lay, bk: tuple,
+                                 constrained_intra: bool,
+                                 chroma_qp_offset: int, mc: str, wf: str,
+                                 batch: int):
+    """Lockstep multi-stream fast path: B compact v2 buffers in, one
+    batched pipeline pass (streams on the LANE axis), persistent
+    per-stream DPB stacks updated in place. bufs [B, size] u8,
+    ref_y/ref_c [B, R, ...], slots [B]."""
+    from .packed import unpack_arrs_v2
+    per = [unpack_arrs_v2(bufs[b], lay, bk, constrained_intra,
+                          chroma_qp_offset) for b in range(batch)]
+    flat = {}
+    for k in per[0]:
+        if k == "whole_conceal":
+            flat[k] = jnp.stack([p[k] for p in per])
+        else:
+            flat[k] = jnp.concatenate([p[k] for p in per])
+    B, R = batch, ref_y.shape[1]
+    y, cb, cr = decode_picture_impl(
+        flat, ref_y.reshape((B * R,) + ref_y.shape[2:]),
+        ref_c.reshape((B * R,) + ref_c.shape[2:]), steps,
+        w_mbs=lay.w, h_mbs=lay.h, chroma_qp_offset=chroma_qp_offset,
+        mc=mc, wf=wf, batch=B)
+
+    def upd(sy, sc, yy, cbb, crr, s):
+        sy = jax.lax.dynamic_update_index_in_dim(
+            sy, K_mcp.pad_luma(yy), s, axis=0)
+        sc = jax.lax.dynamic_update_index_in_dim(
+            sc, K_mcp.pad_chroma(cbb, crr), s, axis=0)
+        return sy, sc
+
+    ref_y, ref_c = jax.vmap(upd)(ref_y, ref_c, y, cb, cr, slots)
+    yuv = jnp.concatenate(
+        [y.astype(jnp.uint8).reshape(batch, -1),
+         cb.astype(jnp.uint8).reshape(batch, -1),
+         cr.astype(jnp.uint8).reshape(batch, -1)], axis=1)
     return y, cb, cr, yuv, ref_y, ref_c
 
 

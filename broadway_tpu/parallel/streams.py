@@ -56,6 +56,120 @@ decode_pictures_batch = functools.partial(
         _batched_impl)
 
 
+def decode_streams_lockstep(datas, mc: str = None,
+                            parallel_slices: int = 4,
+                            fetch: bool = True):
+    """End-to-end lockstep decode of N same-geometry, same-length,
+    error-free streams on ONE chip: each picture round batches all N
+    compact uploads through one jitted pipeline pass with streams on
+    the wavefront LANE axis — the single-chip multi-instance mode
+    (reference: TestBenchMultipleInstance.c round-robin instances,
+    storyDemo.html 6 players). Returns per-stream display-order YUV.
+
+    Streams must stay picture-aligned (same resolution and picture
+    count; no decode errors) — the bench/demo contract, matching the
+    reference testbench's round-robin over one input stream."""
+    import threading
+
+    import numpy as np
+
+    import broadway_tpu.core.decoder as DEC
+    from ..core import packed as PK
+    from ..core import recon_tpu as RT
+    from ..ops.tpu import mc_pallas as K_mcp
+
+    B = len(datas)
+    barrier = threading.Barrier(B)
+    staging = [None] * B
+    results = [None] * B
+    state = {}
+    if mc is None:
+        import jax
+        # LANE-axis batching needs the kernel path; interpret mode is
+        # the CPU-correctness twin
+        mc = "pallas" if jax.default_backend() == "tpu" \
+            else "pallas_interp"
+
+    def make_recon(i):
+        scratch = {}
+
+        def recon(self, pic):
+            pps, sps = self.pps, self.sps
+            w, h = sps.width_mbs, sps.height_mbs
+            lay = PK.get_packed_layout_v2(w, h)
+            if scratch.get("lay") is not lay:
+                scratch["lay"] = lay
+                scratch["s"] = PK.PackScratchV2(lay)
+            res = PK.pack_picture_v2(pic, lay, scratch["s"])
+            assert res is not None, "lockstep requires v2-packable pics"
+            buf, bk = res
+            R = self.dpb.dpb_size + 1
+            staging[i] = (buf, bk, self.dpb.current.slot, w, h, R,
+                          pps.constrained_intra_pred,
+                          pps.chroma_qp_index_offset)
+            barrier.wait()
+            if i == 0:
+                import jax
+                import jax.numpy as jnp
+                lay = scratch["lay"]
+                BK = tuple(max(s[1][j] for s in staging)
+                           for j in range(3))
+                bufs = np.stack([PK.expand_buf_v2(s[0], lay, s[1], BK)
+                                 for s in staging])
+                Rmax = max(s[5] for s in staging)
+                key = (w, h, Rmax)
+                if state.get("key") != key:
+                    hy, wy = K_mcp.luma_ext_dims(sps.width, sps.height)
+                    hc, wc = K_mcp.chroma_ext_dims(sps.width, sps.height)
+                    state["key"] = key
+                    state["sy"] = jnp.zeros((B, Rmax, hy, wy), jnp.int32)
+                    state["sc"] = jnp.zeros((B, Rmax, hc, wc), jnp.int32)
+                    state["steps"] = {k: jnp.asarray(v) for k, v in
+                                      RT.step_tables(w, h).items()}
+                slots = jnp.asarray([s[2] for s in staging], jnp.int32)
+                y, cb, cr, yuv, state["sy"], state["sc"] = \
+                    RT.decode_pictures_packed_batch(
+                        jax.device_put(bufs), state["sy"], state["sc"],
+                        slots, state["steps"], lay=lay, bk=BK,
+                        constrained_intra=staging[0][6],
+                        chroma_qp_offset=staging[0][7],
+                        mc=mc, wf=mc, batch=B)
+                for b in range(B):
+                    results[b] = RT.TpuFrame(y[b], cb[b], cr[b],
+                                             pad=False, yuv_u8=yuv[b])
+            barrier.wait()
+            return results[i]
+        return recon
+
+    outs = [None] * B
+    errors = []
+
+    def run(i):
+        try:
+            d = DEC.Decoder(backend="cpu", recon_strategy=make_recon(i),
+                            parallel_slices=parallel_slices)
+            got = d.decode_annexb(datas[i])
+            if fetch:
+                outs[i] = [o.frame.tobytes() for o in got]
+            else:
+                import jax
+                for o in got:
+                    jax.block_until_ready(o.frame.y)
+                outs[i] = got
+        except Exception as e:
+            errors.append(e)
+            barrier.abort()
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(B)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return outs
+
+
 def make_dp_mesh(devices=None, name: str = "dp") -> Mesh:
     import numpy as np
     devices = devices if devices is not None else jax.devices()

@@ -1076,7 +1076,10 @@ extern "C" int bw_pack_picture(const PicBuffers* pb, i32 n,
 //   13*n slice-param table i8[1024][3] (idc, offA, offB), indexed by
 //        slice_id on device (was 3 bytes/MB)
 //
-// Sparse coefficient rows: index space identical to bw_pack_picture.
+// Sparse coefficient rows: index space identical to bw_pack_picture,
+// but TWO-TIER — rows whose 16 levels all fit int8 ship as 20-byte i8
+// rows (the overwhelming majority on real content), the rest (large
+// levels, I_PCM sample rows) as 36-byte i16 rows.
 // Sparse EXCEPTION rows (80-byte payload, one per MB that needs it):
 //   inter MB, non-uniform mv/ref: mv i16[16][2] + ref i8[16]
 //   I4x4 MB, any nonzero mode:    i4_modes u8[16] + zero pad
@@ -1084,9 +1087,11 @@ extern "C" int bw_pack_picture(const PicBuffers* pb, i32 n,
 
 extern "C" int bw_pack_picture2(const PicBuffers* pb, i32 n,
                                 const i32* sp, i32 n_sp,
-                                u8* base, i32* sp_idx, i16* sp_val,
+                                u8* base,
+                                i32* sp8_idx, int8_t* sp8_val,
+                                i32* sp_idx, i16* sp_val,
                                 i32* exc_idx, u8* exc_val,
-                                i32* out_k, i32* out_e) {
+                                i32* out_k8, i32* out_k, i32* out_e) {
     u8* o_cls = base;
     u8* o_qp = base + (size_t)n;
     u8* o_cbp = base + 2 * (size_t)n;
@@ -1109,7 +1114,25 @@ extern "C" int bw_pack_picture2(const PicBuffers* pb, i32 n,
 
     const i64 CH0 = 16 * (i64)n, LDC0 = 24 * (i64)n, CDC0 = 25 * (i64)n,
               PCM0 = 26 * (i64)n;
-    i64 k = 0, e = 0;
+    i64 k = 0, k8 = 0, e = 0;
+    auto emit_row = [&](i64 index, const i32* src, int cnt) {
+        bool fits = true;
+        for (int t = 0; t < cnt; t++)
+            fits = fits && src[t] >= -128 && src[t] <= 127;
+        if (fits) {
+            sp8_idx[k8] = (i32)index;
+            int8_t* d = sp8_val + k8 * 16;
+            for (int t = 0; t < cnt; t++) d[t] = (int8_t)src[t];
+            for (int t = cnt; t < 16; t++) d[t] = 0;
+            k8++;
+        } else {
+            sp_idx[k] = (i32)index;
+            i16* d = sp_val + k * 16;
+            for (int t = 0; t < cnt; t++) d[t] = (i16)src[t];
+            for (int t = cnt; t < 16; t++) d[t] = 0;
+            k++;
+        }
+    };
     for (i32 a = 0; a < n; a++) {
         int cls = pb->mb_class[a];
         o_cls[a] = (u8)cls;
@@ -1164,49 +1187,30 @@ extern "C" int bw_pack_picture2(const PicBuffers* pb, i32 n,
         }
 
         for (int b = 0; b < 16; b++) {
-            if (pb->total_coeff[(i64)a * 16 + b] > 0) {
-                sp_idx[k] = (i32)((i64)a * 16 + b);
-                const i32* src = pb->luma_coeffs + ((i64)a * 16 + b) * 16;
-                i16* dst = sp_val + k * 16;
-                for (int t = 0; t < 16; t++) dst[t] = (i16)src[t];
-                k++;
-            }
+            if (pb->total_coeff[(i64)a * 16 + b] > 0)
+                emit_row((i64)a * 16 + b,
+                         pb->luma_coeffs + ((i64)a * 16 + b) * 16, 16);
         }
         for (int cb = 0; cb < 8; cb++) {
-            if (pb->chroma_total_coeff[(i64)a * 8 + cb] > 0) {
-                sp_idx[k] = (i32)(CH0 + (i64)a * 8 + cb);
-                const i32* src = pb->chroma_ac + ((i64)a * 8 + cb) * 16;
-                i16* dst = sp_val + k * 16;
-                for (int t = 0; t < 16; t++) dst[t] = (i16)src[t];
-                k++;
-            }
+            if (pb->chroma_total_coeff[(i64)a * 8 + cb] > 0)
+                emit_row(CH0 + (i64)a * 8 + cb,
+                         pb->chroma_ac + ((i64)a * 8 + cb) * 16, 16);
         }
         if (cls == MB_I16x16) {
             const i32* src = pb->luma_dc + (i64)a * 16;
             bool nz = false;
             for (int t = 0; t < 16; t++) nz |= src[t] != 0;
-            if (nz) {
-                sp_idx[k] = (i32)(LDC0 + a);
-                i16* dst = sp_val + k * 16;
-                for (int t = 0; t < 16; t++) dst[t] = (i16)src[t];
-                k++;
-            }
+            if (nz) emit_row(LDC0 + a, src, 16);
         }
         if ((pb->cbp[a] >> 4) > 0) {
             const i32* src = pb->chroma_dc + (i64)a * 8;
             bool nz = false;
             for (int t = 0; t < 8; t++) nz |= src[t] != 0;
-            if (nz) {
-                sp_idx[k] = (i32)(CDC0 + a);
-                i16* dst = sp_val + k * 16;
-                for (int t = 0; t < 8; t++) dst[t] = (i16)src[t];
-                for (int t = 8; t < 16; t++) dst[t] = 0;
-                k++;
-            }
+            if (nz) emit_row(CDC0 + a, src, 8);
         }
         if (cls == MB_IPCM) {
             const u8* src = pb->ipcm + (i64)a * 384;
-            for (int j = 0; j < 12; j++) {
+            for (int j = 0; j < 12; j++) {       // u8 pairs: always i16
                 sp_idx[k] = (i32)(PCM0 + (i64)a * 12 + j);
                 i16* dst = sp_val + k * 16;
                 for (int t = 0; t < 16; t++)
@@ -1216,6 +1220,7 @@ extern "C" int bw_pack_picture2(const PicBuffers* pb, i32 n,
             }
         }
     }
+    *out_k8 = (i32)k8;
     *out_k = (i32)k;
     *out_e = (i32)e;
     return 0;

@@ -18,7 +18,7 @@ def _collect_pics(data):
 
     def collect(dec, pic):
         pics.append((pic, dec.pps))
-        return None
+        return DEC.SKIP_RECON
 
     d = DEC.Decoder(backend="cpu", recon_strategy=collect)
     d.decode_annexb(data)
@@ -88,12 +88,12 @@ def test_unpack_v2_matches_host_arrays(name):
     for pic, pps in pics:
         lay = PK.get_packed_layout_v2(pic.width_mbs, pic.height_mbs)
         scratch = PK.PackScratchV2(lay)
-        buf, kb, eb = PK.pack_picture_v2(pic, lay, scratch)
+        buf, bk = PK.pack_picture_v2(pic, lay, scratch)
 
         cqo = pps.chroma_qp_index_offset
         ci = pps.constrained_intra_pred
         got = jax.jit(
-            lambda b: PK.unpack_arrs_v2(b, lay, kb, eb, ci, cqo))(buf)
+            lambda b: PK.unpack_arrs_v2(b, lay, bk, ci, cqo))(buf)
         want = RT.host_picture_arrays(pic, cqo, ci)
         assert set(got) == set(want)
         for k in want:

@@ -67,7 +67,7 @@ def parse_pictures(data, max_pics=None):
         out.append((arrs, dec.sps.width_mbs, dec.sps.height_mbs,
                     dec.pps.chroma_qp_index_offset,
                     len(dec.dpb.buffer)))
-        return None
+        return DEC.SKIP_RECON
 
     d = DEC.Decoder(backend="cpu", recon_strategy=collect)
     d.decode_annexb(data)

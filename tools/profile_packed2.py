@@ -26,8 +26,9 @@ def main():
 
     pics = []
     d = DEC.Decoder(backend="cpu",
-                    recon_strategy=lambda dec, pic:
-                    pics.append((pic, dec.pps, len(dec.dpb.buffer))))
+                    recon_strategy=lambda dec, pic: (
+                        pics.append((pic, dec.pps, len(dec.dpb.buffer))),
+                        DEC.SKIP_RECON)[1])
     d.decode_annexb(data)
     pic, pps, n_slots = pics[-1]
 
