@@ -949,6 +949,14 @@ def decode_picture_packed2(buf, ref_y, ref_c, slot, steps, *,
     from .packed import unpack_arrs_v2
     arrs = unpack_arrs_v2(buf, lay, bk, constrained_intra,
                           chroma_qp_offset)
+    # XLA workaround (round-4 root cause of test_tpu_multislice): when
+    # the v2 unpack (bitcast/scatter chains) fuses INTO the deblock
+    # boundary-strength computation, XLA miscompiles the internal copy
+    # of the mv/ref compare chain (bs_left of one MB drops to 0) even
+    # though the same values exported as jit outputs are correct. A
+    # barrier between unpack and consumers splits those fusions while
+    # keeping ONE jit dispatch per picture; measured cost is noise.
+    arrs = jax.lax.optimization_barrier(arrs)
     y, cb, cr = decode_picture_impl(
         arrs, ref_y, ref_c, steps, w_mbs=lay.w, h_mbs=lay.h,
         chroma_qp_offset=chroma_qp_offset, mc=mc, wf=wf)
@@ -980,6 +988,8 @@ def decode_pictures_packed_batch(bufs, ref_y, ref_c, slots, steps, *,
     from .packed import unpack_arrs_v2
     per = [unpack_arrs_v2(bufs[b], lay, bk, constrained_intra,
                           chroma_qp_offset) for b in range(batch)]
+    # same XLA fusion workaround as decode_picture_packed2
+    per = jax.lax.optimization_barrier(per)
     flat = {}
     for k in per[0]:
         if k == "whole_conceal":
