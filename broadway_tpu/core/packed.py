@@ -42,7 +42,10 @@ class PackedLayout:
         self.n = n
         self.base_size = 122 * n
         self.NR = 38 * n                      # sparse row space
-        self.idx_off = (self.base_size + 3) & ~3
+        # 1024-aligned section offsets: XLA:TPU compiles multi-MB u8
+        # slices at unaligned offsets pathologically (430 s vs 2 s cold
+        # at the 262144-row bucket — round-3's dense-bench hang)
+        self.idx_off = (self.base_size + 1023) & ~1023
         buckets = []
         b = 4096
         while b < self.NR:
@@ -58,10 +61,13 @@ class PackedLayout:
         return self.NR
 
     def val_off(self, kb: int) -> int:
-        return self.idx_off + 4 * kb
+        return (self.idx_off + 4 * kb + 1023) & ~1023
 
     def total_size(self, kb: int) -> int:
-        return self.val_off(kb) + 32 * kb
+        # padded to 1024: an unaligned u8 ARG LENGTH alone makes
+        # XLA:TPU compile every multi-MB slice of it pathologically
+        # (480 s vs 2 s cold, measured round 4)
+        return (self.val_off(kb) + 32 * kb + 1023) & ~1023
 
     def __hash__(self):
         return hash((self.w, self.h))
@@ -126,6 +132,39 @@ def _shift_grid(g, dy: int, dx: int, fill):
     return out.at[ys, xs].set(g[nys, nxs])
 
 
+def _byte_decoders(jnp):
+    """Little-endian byte -> integer decode as shift/mask arithmetic.
+
+    bitcast_convert_type would be the natural op, but XLA:TPU compiles
+    materialized u8 bitcast/reshape chains pathologically slowly at the
+    large sparse-row buckets (minutes at 262144 rows — round-3's
+    "dense e2e JaxRuntimeError/hang"); the same values built from
+    shifts fuse into the scatters and compile in seconds. Semantics
+    are identical (TPU buffers are little-endian)."""
+    def u8_i32x4(x4):   # u8 [m,4] -> i32 [m]
+        x = x4.astype(jnp.int32)
+        return x[:, 0] | (x[:, 1] << 8) | (x[:, 2] << 16) | (x[:, 3] << 24)
+
+    def u8_i16(x):      # u8 [2m] -> i32 [m] (sign-extended i16 value)
+        x = x.reshape(-1, 2).astype(jnp.int32)
+        v = x[:, 0] | (x[:, 1] << 8)
+        return ((v + 32768) & 65535) - 32768
+
+    def u8_u16(x):      # u8 [2m] -> i32 [m] (zero-extended)
+        x = x.reshape(-1, 2).astype(jnp.int32)
+        return x[:, 0] | (x[:, 1] << 8)
+
+    def u8_i8(x):       # u8 [m] -> i32 [m] (sign-extended i8 value)
+        return ((x.astype(jnp.int32) + 128) & 255) - 128
+
+    def i16_bytes(v):   # i16-valued i32 [..., m] -> u8 pair [..., m, 2]
+        lo = v & 255
+        hi = (v >> 8) & 255
+        return jnp.stack([lo, hi], axis=-1)
+
+    return u8_i32x4, u8_i16, u8_u16, u8_i8, i16_bytes
+
+
 def unpack_arrs(buf, lay: PackedLayout, kb: int, constrained_intra: bool,
                 chroma_qp_offset: int) -> Dict:
     """buf u8 -> the per-MB tensor dict consumed by decode_picture_impl.
@@ -136,6 +175,7 @@ def unpack_arrs(buf, lay: PackedLayout, kb: int, constrained_intra: bool,
     from jax import lax
 
     n, w, h = lay.n, lay.w, lay.h
+    u8_i32x4, u8_i16, u8_u16, u8_i8, i16_bytes = _byte_decoders(jnp)
 
     def seg(off, ln):
         return lax.slice_in_dim(buf, off, off + ln, axis=0)
@@ -143,38 +183,33 @@ def unpack_arrs(buf, lay: PackedLayout, kb: int, constrained_intra: bool,
     def as_i32(x):
         return x.astype(jnp.int32)
 
-    def u8_i16(x):      # u8[2m] -> i16[m]
-        return lax.bitcast_convert_type(x.reshape(-1, 2), jnp.int16)
-
-    def u8_i8(x):
-        return lax.bitcast_convert_type(x, jnp.int8)
-
     cls = as_i32(seg(0, n))
     qp = as_i32(seg(n, n))
     cbp = as_i32(seg(2 * n, n))
     i16_mode = as_i32(seg(3 * n, n))
     chroma_mode = as_i32(seg(4 * n, n))
     idc = as_i32(seg(5 * n, n))
-    offA = as_i32(u8_i8(seg(6 * n, n)))
-    offB = as_i32(u8_i8(seg(7 * n, n)))
-    sid = as_i32(lax.bitcast_convert_type(
-        seg(8 * n, 2 * n).reshape(n, 2), jnp.uint16))
+    offA = u8_i8(seg(6 * n, n))
+    offB = u8_i8(seg(7 * n, n))
+    sid = u8_u16(seg(8 * n, 2 * n))
     i4_modes = as_i32(seg(10 * n, 16 * n)).reshape(n, 4, 4)
     total_coeff = as_i32(seg(26 * n, 16 * n)).reshape(n, 4, 4)
-    ref_blk = as_i32(u8_i8(seg(42 * n, 16 * n))).reshape(n, 4, 4)
-    mv = as_i32(u8_i16(seg(58 * n, 64 * n))).reshape(n, 4, 4, 2)
+    ref_blk = u8_i8(seg(42 * n, 16 * n)).reshape(n, 4, 4)
+    mv = u8_i16(seg(58 * n, 64 * n)).reshape(n, 4, 4, 2)
 
-    idx = lax.bitcast_convert_type(
-        seg(lay.idx_off, 4 * kb).reshape(kb, 4), jnp.int32)
+    idx = u8_i32x4(seg(lay.idx_off, 4 * kb).reshape(kb, 4))
     vals = u8_i16(seg(lay.val_off(kb), 32 * kb)).reshape(kb, 16)
-    dense = jnp.zeros((lay.NR, 16), jnp.int16)
+    # dense row space is i32, not i16: XLA:TPU legalizes large i16
+    # scatters/slices pathologically (116 s vs 10 s cold compile at the
+    # 262144-row bucket with identical warm runtime)
+    dense = jnp.zeros((lay.NR, 16), jnp.int32)
     dense = dense.at[idx].set(vals, mode="drop", unique_indices=True)
     luma_coeffs = as_i32(dense[:16 * n]).reshape(n, 4, 4, 16)
     chroma_ac = as_i32(dense[16 * n:24 * n]).reshape(n, 2, 2, 2, 16)
     luma_dc = as_i32(dense[24 * n:25 * n].reshape(n, 16))
     chroma_dc = as_i32(dense[25 * n:26 * n, :8].reshape(n, 2, 4))
-    ipcm = lax.bitcast_convert_type(
-        dense[26 * n:38 * n].reshape(n, 192), jnp.uint8).reshape(n, 384)
+    ipcm = i16_bytes(as_i32(dense[26 * n:38 * n]).reshape(n, 192)) \
+        .reshape(n, 384)
 
     # --- derived flags on device (fast path: every MB decoded) ---------
     clsg = cls.reshape(h, w)
@@ -261,7 +296,8 @@ class PackedLayoutV2:
         self.base_size = 13 * n + self.SPT
         self.NR = 38 * n                      # coeff sparse row space
         self.NE = n                           # exception row space
-        self.idx_off = (self.base_size + 3) & ~3
+        # all sparse-section offsets 1024-aligned (see PackedLayout)
+        self.idx_off = (self.base_size + 1023) & ~1023
 
         def ladder(steps):
             out = [b for b in steps if b < self.NR]
@@ -291,22 +327,23 @@ class PackedLayoutV2:
 
     # section offsets for bucket sizes (kb8, kb16, eb)
     def val8_off(self, kb8: int) -> int:
-        return self.idx_off + 4 * kb8
+        return (self.idx_off + 4 * kb8 + 1023) & ~1023
 
     def idx16_off(self, kb8: int) -> int:
-        return (self.val8_off(kb8) + 16 * kb8 + 3) & ~3
+        return (self.val8_off(kb8) + 16 * kb8 + 1023) & ~1023
 
     def val16_off(self, kb8: int, kb16: int) -> int:
-        return self.idx16_off(kb8) + 4 * kb16
+        return (self.idx16_off(kb8) + 4 * kb16 + 1023) & ~1023
 
     def eidx_off(self, kb8: int, kb16: int) -> int:
-        return (self.val16_off(kb8, kb16) + 32 * kb16 + 3) & ~3
+        return (self.val16_off(kb8, kb16) + 32 * kb16 + 1023) & ~1023
 
     def eval_off(self, kb8: int, kb16: int, eb: int) -> int:
-        return self.eidx_off(kb8, kb16) + 4 * eb
+        return (self.eidx_off(kb8, kb16) + 4 * eb + 1023) & ~1023
 
     def total_size(self, kb8: int, kb16: int, eb: int) -> int:
-        return self.eval_off(kb8, kb16, eb) + 80 * eb
+        # padded to 1024 (see PackedLayout.total_size)
+        return (self.eval_off(kb8, kb16, eb) + 80 * eb + 1023) & ~1023
 
     def __hash__(self):
         return hash((self.w, self.h, "v2"))
@@ -438,6 +475,7 @@ def unpack_arrs_v2(buf, lay: PackedLayoutV2, bk: tuple,
 
     n, w, h = lay.n, lay.w, lay.h
     kb8, kb16, eb = bk
+    u8_i32x4, u8_i16, u8_u16, u8_i8, i16_bytes = _byte_decoders(jnp)
 
     def seg(off, ln):
         return lax.slice_in_dim(buf, off, off + ln, axis=0)
@@ -445,26 +483,17 @@ def unpack_arrs_v2(buf, lay: PackedLayoutV2, bk: tuple,
     def as_i32(x):
         return x.astype(jnp.int32)
 
-    def u8_i16(x):      # u8[2m] -> i16[m]
-        return lax.bitcast_convert_type(x.reshape(-1, 2), jnp.int16)
-
-    def u8_u16(x):
-        return lax.bitcast_convert_type(x.reshape(-1, 2), jnp.uint16)
-
-    def u8_i8(x):
-        return lax.bitcast_convert_type(x, jnp.int8)
-
     cls = as_i32(seg(0, n))
     qp = as_i32(seg(n, n))
     cbp = as_i32(seg(2 * n, n))
     modes = as_i32(seg(3 * n, n))
     i16_mode = modes & 3
     chroma_mode = (modes >> 2) & 3
-    sid = as_i32(u8_u16(seg(4 * n, 2 * n)))
-    tcm = as_i32(u8_u16(seg(6 * n, 2 * n)))
-    mv_mb = as_i32(u8_i16(seg(8 * n, 4 * n))).reshape(n, 2)
-    ref_mb = as_i32(u8_i8(seg(12 * n, n)))
-    spt = as_i32(u8_i8(seg(13 * n, lay.SPT))).reshape(1024, 3)
+    sid = u8_u16(seg(4 * n, 2 * n))
+    tcm = u8_u16(seg(6 * n, 2 * n))
+    mv_mb = u8_i16(seg(8 * n, 4 * n)).reshape(n, 2)
+    ref_mb = u8_i8(seg(12 * n, n))
+    spt = u8_i8(seg(13 * n, lay.SPT)).reshape(1024, 3)
 
     # total_coeff from the bitmask (bS only tests > 0)
     bit = jnp.arange(16, dtype=jnp.int32)[None, :]
@@ -477,35 +506,34 @@ def unpack_arrs_v2(buf, lay: PackedLayoutV2, bk: tuple,
     offB = jnp.take(spt[:, 2], sidc)
 
     # two-tier coefficient scatter into one dense i16 row space
-    idx8 = lax.bitcast_convert_type(
-        seg(lay.idx_off, 4 * kb8).reshape(kb8, 4), jnp.int32)
+    idx8 = u8_i32x4(seg(lay.idx_off, 4 * kb8).reshape(kb8, 4))
     vals8 = u8_i8(seg(lay.val8_off(kb8), 16 * kb8)).reshape(kb8, 16)
-    idx16 = lax.bitcast_convert_type(
-        seg(lay.idx16_off(kb8), 4 * kb16).reshape(kb16, 4), jnp.int32)
+    idx16 = u8_i32x4(seg(lay.idx16_off(kb8), 4 * kb16).reshape(kb16, 4))
     vals16 = u8_i16(seg(lay.val16_off(kb8, kb16),
                         32 * kb16)).reshape(kb16, 16)
-    dense = jnp.zeros((lay.NR, 16), jnp.int16)
-    dense = dense.at[idx8].set(vals8.astype(jnp.int16), mode="drop",
-                               unique_indices=True)
-    dense = dense.at[idx16].set(vals16, mode="drop", unique_indices=True)
+    # i32 row space: large i16 scatters compile pathologically (see
+    # unpack_arrs)
+    dense = jnp.zeros((lay.NR, 16), jnp.int32)
+    dense = dense.at[idx8].set(vals8, mode="drop", unique_indices=True)
+    dense = dense.at[idx16].set(vals16, mode="drop",
+                                unique_indices=True)
     luma_coeffs = as_i32(dense[:16 * n]).reshape(n, 4, 4, 16)
     chroma_ac = as_i32(dense[16 * n:24 * n]).reshape(n, 2, 2, 2, 16)
     luma_dc = as_i32(dense[24 * n:25 * n].reshape(n, 16))
     chroma_dc = as_i32(dense[25 * n:26 * n, :8].reshape(n, 2, 4))
-    ipcm = lax.bitcast_convert_type(
-        dense[26 * n:38 * n].reshape(n, 192), jnp.uint8).reshape(n, 384)
+    ipcm = i16_bytes(as_i32(dense[26 * n:38 * n]).reshape(n, 192)) \
+        .reshape(n, 384)
 
     # exception scatter: mv/ref grids or i4 modes
-    eidx = lax.bitcast_convert_type(
-        seg(lay.eidx_off(kb8, kb16), 4 * eb).reshape(eb, 4), jnp.int32)
+    eidx = u8_i32x4(seg(lay.eidx_off(kb8, kb16), 4 * eb).reshape(eb, 4))
     evals = seg(lay.eval_off(kb8, kb16, eb), 80 * eb).reshape(eb, 80)
     edense = jnp.zeros((lay.NE, 80), jnp.uint8)
     edense = edense.at[eidx].set(evals, mode="drop", unique_indices=True)
     has_exc = jnp.zeros((lay.NE,), jnp.bool_) \
         .at[eidx].set(True, mode="drop")
-    exc_mv = as_i32(lax.bitcast_convert_type(
-        edense[:, :64].reshape(n, 32, 2), jnp.int16)).reshape(n, 4, 4, 2)
-    exc_ref = as_i32(u8_i8(edense[:, 64:80])).reshape(n, 4, 4)
+    exc_mv = u8_i16(edense[:, :64].reshape(n * 32, 2)) \
+        .reshape(n, 4, 4, 2)
+    exc_ref = u8_i8(edense[:, 64:80]).reshape(n, 4, 4)
     exc_i4 = as_i32(edense[:, 0:16]).reshape(n, 4, 4)
 
     is_i4 = cls == MB_I4x4
