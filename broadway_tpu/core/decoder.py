@@ -70,7 +70,8 @@ class Decoder:
 
     def __init__(self, no_reordering: bool = False,
                  backend: str = "cpu", frontend: str = "auto",
-                 parallel_slices: int = 0, recon_strategy=None) -> None:
+                 parallel_slices: int = 0, recon_strategy=None,
+                 prefetch_outputs: bool = False) -> None:
         # frontend: "auto" (native C++ if built), "native", "python"
         # parallel_slices: >1 = parse a picture's slices concurrently on
         # a thread pool (the TPU-host analogue of Broadway's sliceMode
@@ -89,6 +90,13 @@ class Decoder:
         self.frontend = frontend
         self.parallel_slices = parallel_slices
         self.recon_strategy = recon_strategy
+        # prefetch_outputs: start the device->host YUV copy as soon as
+        # a picture reaches display order, overlapping delivery with
+        # the next pictures' decode (the reference's transferable
+        # frame post-back, Player/Decoder.js:856-872). Opt-in: host
+        # delivery costs link bandwidth that device-resident serving
+        # (device YUV->RGB, P4) does not pay.
+        self.prefetch_outputs = prefetch_outputs
         self._deferred = []
         self._executor = None
         if parallel_slices > 1:
@@ -188,7 +196,14 @@ class Decoder:
         t = nal.nal_type
         if t == br.NAL_SPS:
             s = parse_sps(BitReader(nal.rbsp))
-            self.sps_store[s.sps_id] = s
+            # re-storing a bit-identical SPS keeps the existing object
+            # (repeated in-band headers must not look like a sequence
+            # change); a CHANGED SPS under the same id replaces it and
+            # forces re-activation at the next IDR
+            # (h264bsdCompareSeqParamSets, h264bsd_storage.c:128)
+            old = self.sps_store.get(s.sps_id)
+            if old is None or old != s:
+                self.sps_store[s.sps_id] = s
             return
         if t == br.NAL_PPS:
             p = parse_pps(BitReader(nal.rbsp))
@@ -270,9 +285,17 @@ class Decoder:
         sps = self.sps_store.get(pps.sps_id)
         if sps is None:
             raise StreamError("activation of missing SPS")
-        if self.active_sps_id != sps.sps_id:
-            if self.active_sps_id is not None and not is_idr:
+        if self.active_sps_id != sps.sps_id or self.sps is not sps:
+            # id switch OR content redefinition under the same id
+            if self.sps is not None and not is_idr:
                 raise StreamError("SPS change on non-IDR picture")
+            # emit the previous sequence's buffered pictures before the
+            # DPB is re-allocated (the reference outputs prior pics at
+            # the IDR boundary: h264bsd_decoder.c:369-399 prior-pics
+            # flush; SoftAVC drains output before reconfiguring ports)
+            if getattr(self, "dpb", None) is not None:
+                self.dpb.flush()
+                self._drain()
             # (re)allocate DPB for the new sequence
             self.dpb = Dpb(sps.dpb_size(), max(sps.num_ref_frames, 1),
                            sps.max_frame_num, self.no_reordering)
@@ -427,6 +450,9 @@ class Decoder:
             poc = 0
 
         self.dpb.current.frame = frame
+        self.dpb.current.width = sps.width
+        self.dpb.current.height = sps.height
+        self.dpb.current.crop = sps.crop
         self.dpb.mark_decoded_ref_pic(
             is_ref=header.nal_ref_idc != 0,
             mmco=header.mmco,
@@ -604,10 +630,16 @@ class Decoder:
 
     def _drain(self) -> None:
         for p in self.dpb.drain_outputs():
+            if self.prefetch_outputs and p.frame is not None:
+                f = getattr(p.frame, "start_fetch", None)
+                if f is not None:
+                    f()
             self.outputs.append(OutputPicture(
                 frame=p.frame, is_idr=p.is_idr, pic_id=p.pic_id,
-                num_err_mbs=p.num_err_mbs, width=self.sps.width,
-                height=self.sps.height, crop=self.sps.crop))
+                num_err_mbs=p.num_err_mbs,
+                width=p.width or self.sps.width,
+                height=p.height or self.sps.height,
+                crop=p.crop if p.crop is not None else self.sps.crop))
 
     # ------------------------------------------------------------------
     # Checkpoint / resume (SURVEY.md §5): decoder state = parameter-set

@@ -33,6 +33,13 @@ class DpbPicture:
     pic_id: int = 0
     num_err_mbs: int = 0
     non_existing: bool = False
+    # display geometry captured at decode time: a mid-stream SPS change
+    # (new resolution at IDR) must not relabel pictures of the previous
+    # sequence that are still queued for output (SoftAVC port-settings
+    # semantics, SoftAVC.cpp:536)
+    width: int = 0
+    height: int = 0
+    crop: object = None
     # stable frame-store index: survives the buffer-order sorts and maps
     # this store to its row in the device-resident ref-plane stacks
     slot: int = -1

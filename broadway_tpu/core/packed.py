@@ -15,7 +15,8 @@ replaces it with ONE contiguous uint8 buffer per picture:
     236-286) recomputed ON DEVICE from slice ids, so they cost zero
     upload bytes.
 
-Typical 1080p P picture: ~1.6 MB, one transfer. The sparse row count is
+Typical 1080p P picture: ~2.6 MB in the v1 format (~0.6 MB in v2;
+dense synthetic content ~3-8 MB), one transfer. The sparse row count is
 rounded up to a small set of bucket sizes so jit signatures stay few.
 
 Layout must match bw_pack_picture exactly (see the C++ comment block).

@@ -56,6 +56,7 @@ LSLAB_R = 40      # luma slab rows   (covers y-spread <= 23 after align-8)
 CSLAB_R = 24      # chroma slab rows (covers y-spread <= 14 after align-8)
 SLAB_L = 256      # slab lanes (covers x-spread <= 119 after align-128)
 BSLAB_R = 24      # mode-2 per-block luma slab-let rows
+MC_DEPTH = 4      # slab DMA software-pipeline depth (ring slots)
 BCSLAB_R = 16     # mode-2 per-block chroma slab-let rows
 
 # host-side classification limits implied by the shapes above
@@ -360,7 +361,9 @@ def _mc_kernel(s0, s1, s2, blkdata_hbm, vec, ref_y, ref_c,
     w0 = s0[m]
     mode = w0 & 3
 
-    # ---- slab DMAs, software-pipelined one MB ahead -------------------
+    # ---- slab DMAs, software-pipelined DEPTH MBs ahead ----------------
+    # (per-step compute is ~0.3 us while a slab DMA's latency is ~1 us;
+    # a 1-deep pipeline stalled every step, so issue DEPTH-1 ahead)
     def slab_copies(mm, par):
         w = s0[mm]
         rr = w >> 2
@@ -375,10 +378,13 @@ def _mc_kernel(s0, s1, s2, blkdata_hbm, vec, ref_y, ref_c,
                     ref_c.at[rr, pl.ds(ca, CSLAB_R), pl.ds(cx, SLAB_L)],
                     slab_c.at[par], sem_s.at[par, 1])]
 
-    @pl.when((m == 0) & (mode < 2))
+    @pl.when(m == 0)
     def _():
-        for cp in slab_copies(m, 0):
-            cp.start()
+        for k in range(min(MC_DEPTH - 1, NM)):
+            @pl.when((s0[k] & 3) < 2)
+            def _():
+                for cp in slab_copies(k, k % MC_DEPTH):
+                    cp.start()
 
     @pl.when(mode == 2)
     def _():
@@ -408,23 +414,24 @@ def _mc_kernel(s0, s1, s2, blkdata_hbm, vec, ref_y, ref_c,
 
     @pl.when(mode < 2)
     def _():
-        for cp in slab_copies(m, m % 2):
+        for cp in slab_copies(m, m % MC_DEPTH):
             cp.wait()
 
-    @pl.when(m + 1 < NM)
+    @pl.when(m + MC_DEPTH - 1 < NM)
     def _():
-        @pl.when((s0[m + 1] & 3) < 2)
+        nxt = m + MC_DEPTH - 1
+        @pl.when((s0[nxt] & 3) < 2)
         def _():
-            for cp in slab_copies(m + 1, (m + 1) % 2):
+            for cp in slab_copies(nxt, nxt % MC_DEPTH):
                 cp.start()
 
     @pl.when(mode < 2)
     def _():
         G = _onehot_cols(dxp, SLAB_L)
-        t1[...] = jnp.dot(slab_y[m % 2].astype(jnp.bfloat16), G,
+        t1[...] = jnp.dot(slab_y[m % MC_DEPTH].astype(jnp.bfloat16), G,
                           preferred_element_type=jnp.float32)
         Gc = _onehot_cols(cxp, SLAB_L)
-        t1c[...] = jnp.dot(slab_c[m % 2].astype(jnp.bfloat16), Gc,
+        t1c[...] = jnp.dot(slab_c[m % MC_DEPTH].astype(jnp.bfloat16), Gc,
                            preferred_element_type=jnp.float32)
 
     @pl.when(mode == 2)
@@ -527,14 +534,14 @@ def mc_predict(ref_y: jnp.ndarray, ref_c: jnp.ndarray, tables,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, LSLAB_R, SLAB_L), jnp.int32),
-            pltpu.VMEM((2, CSLAB_R, SLAB_L), jnp.int32),
+            pltpu.VMEM((MC_DEPTH, LSLAB_R, SLAB_L), jnp.int32),
+            pltpu.VMEM((MC_DEPTH, CSLAB_R, SLAB_L), jnp.int32),
             pltpu.VMEM((BSLAB_R, 16 * SLAB_L), jnp.int32),
             pltpu.VMEM((BCSLAB_R, 16 * SLAB_L), jnp.int32),
             pltpu.VMEM((LSLAB_R, SLAB_L), jnp.float32),
             pltpu.VMEM((CSLAB_R, SLAB_L), jnp.float32),
             pltpu.SMEM((1024,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((MC_DEPTH, 2)),
             pltpu.SemaphoreType.DMA((16,)),
             pltpu.SemaphoreType.DMA((16,)),
             pltpu.SemaphoreType.DMA(()),

@@ -288,6 +288,72 @@ def make_sliced_decoder_2d(mesh: Mesh, w_mbs: int, h_mbs: int,
     return jax.jit(sharded)
 
 
+def decode_picture_sliced2d_v2_impl(bufs, ref_y, ref_c, steps,
+                                    lay, bk, w_mbs, hb_mbs,
+                                    constrained_intra,
+                                    chroma_qp_offset,
+                                    dp_axis: str = "dp",
+                                    sp_axis: str = "sp",
+                                    mc: str = "xla",
+                                    h_mbs_full: int = None):
+    """shard_map body over a 2-D (dp x sp) mesh with COMPACT v2
+    uploads: each dp row receives its stream's single packed buffer
+    (replicated over sp — ~0.6 MB instead of the fat stacked int32
+    band bundles), unpacks it on device, and slices out its own band's
+    MB rows. Availability/deblock flags come out of the unpack
+    computed from the full-picture slice ids, so cross-band gating is
+    identical to the host banding path."""
+    from ..core.packed import unpack_arrs_v2
+
+    band = jax.lax.axis_index(sp_axis)
+    buf = bufs[0]           # local dp shard: [1, size] u8
+    arrs = unpack_arrs_v2(buf, lay, bk, constrained_intra,
+                          chroma_qp_offset)
+    arrs = jax.lax.optimization_barrier(arrs)   # see recon_tpu note
+    w = w_mbs
+    nb = hb_mbs * w
+
+    def cut(v):
+        return jax.lax.dynamic_slice_in_dim(v, band * nb, nb, axis=0)
+
+    arrs = {k: (v if k == "whole_conceal" else cut(v))
+            for k, v in arrs.items()}
+    y, cb, cr = RT.decode_picture_impl(
+        arrs, ref_y[0], ref_c[0], steps,
+        w_mbs=w_mbs, h_mbs=hb_mbs, chroma_qp_offset=chroma_qp_offset,
+        mc=mc, mb0=band * nb, ref_h_mbs=h_mbs_full)
+    fy = jax.lax.all_gather(y, sp_axis)
+    fcb = jax.lax.all_gather(cb, sp_axis)
+    fcr = jax.lax.all_gather(cr, sp_axis)
+    H = fy.shape[0] * fy.shape[1]
+    return (fy.reshape(H, -1)[None], fcb.reshape(H // 2, -1)[None],
+            fcr.reshape(H // 2, -1)[None])
+
+
+def make_sliced_decoder_2d_v2(mesh: Mesh, w_mbs: int, h_mbs: int,
+                              n_bands: int, constrained_intra: bool,
+                              chroma_qp_offset: int, lay, bk,
+                              dp_axis: str = "dp", sp_axis: str = "sp"):
+    """jitted fn(bufs [S, size] u8, ref_y [S,...], ref_c [S,...],
+    steps) -> full planes [S, H, W] (dp-sharded), v2 compact upload."""
+    from jax import shard_map
+
+    hb = h_mbs // n_bands
+    fn = functools.partial(decode_picture_sliced2d_v2_impl,
+                           lay=lay, bk=bk, w_mbs=w_mbs, hb_mbs=hb,
+                           constrained_intra=constrained_intra,
+                           chroma_qp_offset=chroma_qp_offset,
+                           dp_axis=dp_axis, sp_axis=sp_axis,
+                           h_mbs_full=h_mbs,
+                           mc=RT.default_mc_backend(
+                               mesh.devices.flat[0]))
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(dp_axis), P(dp_axis), P(dp_axis), P()),
+        out_specs=(P(dp_axis), P(dp_axis), P(dp_axis)), check_vma=False)
+    return jax.jit(sharded)
+
+
 def decode_streams_sliced_dp(datas: List[bytes], mesh: Mesh,
                              n_bands: int) -> List[List[bytes]]:
     """Lockstep end-to-end decode of N same-geometry streams on a 2-D
@@ -308,32 +374,67 @@ def decode_streams_sliced_dp(datas: List[bytes], mesh: Mesh,
     decoder_fn = {}
     errors = []
 
+    from ..bitstream import native as nat
+    from ..core import packed as PK
+    use_v2 = nat.pack2_available()
+    scratch = {}
+
     def make_recon(i):
         def recon(self, pic):
             sps, pps = self.sps, self.pps
             w, h = sps.width_mbs, sps.height_mbs
-            barrs = band_host_arrays(pic, n_bands,
-                                     pps.chroma_qp_index_offset,
-                                     pps.constrained_intra_pred)
             ref_y, ref_c = RT.ref_stacks(self.dpb.buffer, sps.width,
                                          sps.height)
-            staging[i] = (barrs, ref_y, ref_c, w, h,
-                          pps.chroma_qp_index_offset)
+            res = None
+            if use_v2:
+                lay = PK.get_packed_layout_v2(w, h)
+                if scratch.get(i) is None or scratch[i].lay is not lay:
+                    scratch[i] = PK.PackScratchV2(lay)
+                res = PK.pack_picture_v2(pic, lay, scratch[i])
+            if res is not None:
+                # compact v2 single-buffer upload per stream
+                staging[i] = ("v2", res[0], res[1], ref_y, ref_c, w, h,
+                              pps.constrained_intra_pred,
+                              pps.chroma_qp_index_offset)
+            else:
+                barrs = band_host_arrays(pic, n_bands,
+                                         pps.chroma_qp_index_offset,
+                                         pps.constrained_intra_pred)
+                staging[i] = ("v1", barrs, None, ref_y, ref_c, w, h,
+                              pps.constrained_intra_pred,
+                              pps.chroma_qp_index_offset)
             barrier.wait()
             if i == 0:
-                barrs_all = {k: jnp.stack([staging[s][0][k]
-                                           for s in range(S)])
-                             for k in staging[0][0]}
-                sry = jnp.stack([staging[s][1] for s in range(S)])
-                src = jnp.stack([staging[s][2] for s in range(S)])
-                key = (w, h)
-                if key not in decoder_fn:
-                    decoder_fn[key] = make_sliced_decoder_2d(
-                        mesh, w, h, n_bands, staging[0][5])
+                sry = jnp.stack([staging[s][3] for s in range(S)])
+                src = jnp.stack([staging[s][4] for s in range(S)])
                 steps = {k: jnp.asarray(v)
                          for k, v in RT.step_tables(
                              w, h // n_bands).items()}
-                y, cb, cr = decoder_fn[key](barrs_all, sry, src, steps)
+                all_v2 = all(staging[s][0] == "v2" for s in range(S))
+                if all_v2:
+                    lay = PK.get_packed_layout_v2(w, h)
+                    BK = tuple(max(staging[s][2][j] for s in range(S))
+                               for j in range(3))
+                    bufs = jnp.asarray(np.stack(
+                        [PK.expand_buf_v2(staging[s][1], lay,
+                                          staging[s][2], BK)
+                         for s in range(S)]))
+                    key = (w, h, "v2", BK)
+                    if key not in decoder_fn:
+                        decoder_fn[key] = make_sliced_decoder_2d_v2(
+                            mesh, w, h, n_bands, staging[0][7],
+                            staging[0][8], lay, BK)
+                    y, cb, cr = decoder_fn[key](bufs, sry, src, steps)
+                else:
+                    barrs_all = {k: jnp.stack([staging[s][1][k]
+                                               for s in range(S)])
+                                 for k in staging[0][1]}
+                    key = (w, h, "v1")
+                    if key not in decoder_fn:
+                        decoder_fn[key] = make_sliced_decoder_2d(
+                            mesh, w, h, n_bands, staging[0][8])
+                    y, cb, cr = decoder_fn[key](barrs_all, sry, src,
+                                                steps)
                 for s in range(S):
                     results[s] = (y[s], cb[s], cr[s])
             barrier.wait()

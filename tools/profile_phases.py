@@ -26,41 +26,19 @@ def main():
     data = bench_stream(w_mbs, h_mbs, n_frames=n_frames)
 
     # ---- phase 1: parse only (native frontend, 8 threads) ----
-    orig = DEC.Decoder._finish_picture
+    # the decoder's recon_strategy hook skips pixel reconstruction
+    # while DPB/POC bookkeeping proceeds normally (SKIP_RECON)
     pics = []
 
-    def skip_recon(self, concealed):
-        from broadway_tpu.core.poc import decode_poc
-        pics.append((self.pic, self.pps))
-        pic, header = self.pic, self.pic_header
-        self.pic, self.pic_header = None, None
-        cur_mmco5 = any(m.op == 5 for m in header.mmco)
-        poc = decode_poc(self.sps, header, self.poc_state,
-                         header.nal_ref_idc, cur_mmco5)
-        self.dpb.current.frame = object()  # placeholder, parse-only
-        self.dpb.mark_decoded_ref_pic(
-            is_ref=header.nal_ref_idc != 0, mmco=header.mmco,
-            adaptive=header.adaptive_ref_pic_marking,
-            frame_num=header.frame_num, poc=poc, is_idr=header.idr,
-            no_output_of_prior=header.no_output_of_prior_pics,
-            long_term_ref=header.long_term_reference,
-            pic_id=self.pic_number, num_err_mbs=0)
-        self.pic_number += 1
-        self.dpb.prev_ref_frame_num = header.frame_num \
-            if header.nal_ref_idc else self.dpb.prev_ref_frame_num
-        self.dpb.drain_outputs()
+    def collect(dec, pic):
+        pics.append((pic, dec.pps))
+        return DEC.SKIP_RECON
 
-    DEC.Decoder._finish_picture = skip_recon
-    try:
-        d = DEC.Decoder(backend="tpu", parallel_slices=8)
-        t0 = time.perf_counter()
-        d.decode_annexb(data, flush=False)
-        if d._deferred:
-            d._run_deferred()
-            skip_recon(d, False)
-        t_parse = time.perf_counter() - t0
-    finally:
-        DEC.Decoder._finish_picture = orig
+    d = DEC.Decoder(backend="tpu", parallel_slices=8,
+                    recon_strategy=collect)
+    t0 = time.perf_counter()
+    d.decode_annexb(data)
+    t_parse = time.perf_counter() - t0
     print(f"parse (native, 8 threads): {t_parse / len(pics) * 1e3:.1f} "
           f"ms/frame ({len(pics)} pics)", flush=True)
 
