@@ -118,6 +118,8 @@ class Decoder:
         self.poc_state = PocState()
         self.aub = _AubState()
         self.outputs: List[OutputPicture] = []
+        # parsed SEI messages in stream order (bitstream/sei.py)
+        self.sei_messages: List[object] = []
         # current picture state
         self.pic: Optional[PictureData] = None
         self.parser: Optional[MbParser] = None
@@ -212,7 +214,21 @@ class Decoder:
         if t in (br.NAL_SLICE, br.NAL_SLICE_IDR):
             self._decode_slice_nal(nal)
             return
-        if t in (br.NAL_SEI, br.NAL_AUD, br.NAL_END_OF_SEQ,
+        if t == br.NAL_SEI:
+            # decode is unaffected by SEI (the reference build skips
+            # them outright, h264bsd_decoder.c:480); we additionally
+            # parse the messages for application use (recovery points,
+            # HRD timing, user data — bitstream/sei.py), tolerating
+            # malformed payloads the way the reference tolerates the
+            # whole NAL
+            try:
+                from ..bitstream.sei import parse_sei_rbsp
+                self.sei_messages.extend(
+                    parse_sei_rbsp(nal.rbsp, self.sps_store))
+            except StreamError:
+                pass
+            return
+        if t in (br.NAL_AUD, br.NAL_END_OF_SEQ,
                  br.NAL_END_OF_STREAM, br.NAL_FILLER):
             return  # skipped, like the reference (h264bsd_decoder.c:480)
         # unknown NAL types are skipped
