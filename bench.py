@@ -136,13 +136,13 @@ def main():
 
     # ---- multi-stream lockstep batch (BASELINE config 4) ---------------
     if not os.environ.get("BENCH_SKIP_BATCH"):
-        try:
-            from broadway_tpu.parallel.streams import \
-                decode_streams_lockstep
-            import streams as STR
-            batch_detail = {}
-            nfb = int(os.environ.get("BENCH_BATCH_FRAMES", "8"))
-            for B in (2, 4, 8):
+        from broadway_tpu.parallel.streams import \
+            decode_streams_lockstep
+        import streams as STR
+        batch_detail = {}
+        nfb = int(os.environ.get("BENCH_BATCH_FRAMES", "8"))
+        for B in (2, 4, 8):
+            try:
                 datas = [STR.realistic_stream(
                     width_mbs=W_MBS, height_mbs=H_MBS, n_frames=nfb,
                     n_slices=8, seed=5000 + s)[0] for s in range(B)]
@@ -152,10 +152,10 @@ def main():
                 dt = time.perf_counter() - t0
                 batch_detail[str(B)] = round(sum(len(o) for o in outs)
                                              / dt, 2)
-            detail["fps_batch_aggregate"] = batch_detail
-        except Exception as e:
-            detail["fps_batch_aggregate"] = \
-                f"FAILED: {type(e).__name__}: {e}"[:300]
+            except Exception as e:
+                batch_detail[str(B)] = \
+                    f"FAILED: {type(e).__name__}: {e}"[:200]
+        detail["fps_batch_aggregate"] = batch_detail
 
     # ---- pipeline-only (kernel steady state, dense tensors) ------------
     try:

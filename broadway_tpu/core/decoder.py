@@ -71,7 +71,8 @@ class Decoder:
     def __init__(self, no_reordering: bool = False,
                  backend: str = "cpu", frontend: str = "auto",
                  parallel_slices: int = 0, recon_strategy=None,
-                 prefetch_outputs: bool = False) -> None:
+                 prefetch_outputs: bool = False,
+                 group_frames: int = None) -> None:
         # frontend: "auto" (native C++ if built), "native", "python"
         # parallel_slices: >1 = parse a picture's slices concurrently on
         # a thread pool (the TPU-host analogue of Broadway's sliceMode
@@ -97,6 +98,20 @@ class Decoder:
         # delivery costs link bandwidth that device-resident serving
         # (device YUV->RGB, P4) does not pay.
         self.prefetch_outputs = prefetch_outputs
+        # group_frames: decode G consecutive pictures per jit call
+        # (recon_tpu.decode_pictures_packed_group) — amortizes
+        # per-execution dispatch overhead; outputs become lazy frames
+        # that force the group on first pixel access. Default OFF:
+        # measured on the v5e, per-picture dispatch already overlaps
+        # host parse/pack with device compute, and waiting to batch G
+        # uploads stalls the device (~30 fps ungrouped vs ~25 at G=4);
+        # grouping pays off only when per-execution latency dominates
+        # (very high-latency control links). BW_GROUP env overrides.
+        if group_frames is None:
+            group_frames = int(_os.environ.get("BW_GROUP", "0")) \
+                if backend == "tpu" else 0
+        self.group_frames = group_frames
+        self._group_pend = []
         self._deferred = []
         self._executor = None
         if parallel_slices > 1:
@@ -155,6 +170,7 @@ class Decoder:
         if self.pic is not None and self._deferred:
             self._run_deferred()
             self._finish_picture(concealed=False)
+        self._flush_group()
         if self.dpb is not None:
             self.dpb.flush()
             self._drain()
@@ -495,9 +511,47 @@ class Decoder:
         nf.cr = np.asarray(f.cr).astype(np.uint8)
         return nf
 
+    def _flush_group(self) -> None:
+        """Run the pending frame-group jit and materialize its lazy
+        frames (no-op when nothing is pending)."""
+        pend, self._group_pend = self._group_pend, []
+        if not pend:
+            return
+        import jax
+        import numpy as np
+
+        from . import packed as PK
+        from . import recon_tpu as RT
+
+        lay, ci, co, mc, wf, steps = pend[0]["cfg"]
+        G = len(pend)
+        if G == 1:
+            p = pend[0]
+            y, cb, cr, yuv, self._stack_y, self._stack_c = \
+                RT.decode_picture_packed2(
+                    jax.device_put(p["buf"]), self._stack_y,
+                    self._stack_c, p["slot"], steps, lay=lay,
+                    bk=p["bk"], constrained_intra=ci,
+                    chroma_qp_offset=co, mc=mc, wf=wf)
+            p["frame"]._set(y, cb, cr, yuv)
+            return
+        BK = tuple(max(p["bk"][j] for p in pend) for j in range(3))
+        bufs = np.stack([PK.expand_buf_v2(p["buf"], lay, p["bk"], BK)
+                         for p in pend])
+        slots = np.array([p["slot"] for p in pend], np.int32)
+        ys, cbs, crs, yuvs, self._stack_y, self._stack_c = \
+            RT.decode_pictures_packed_group(
+                jax.device_put(bufs), self._stack_y, self._stack_c,
+                jax.device_put(slots), steps, lay=lay, bk=BK,
+                constrained_intra=ci, chroma_qp_offset=co, mc=mc,
+                wf=wf, group=G)
+        for g, p in enumerate(pend):
+            p["frame"]._set(ys[g], cbs[g], crs[g], yuvs[g])
+
     def _reconstruct_concealed(self, pic: PictureData, num_err: int):
         """Error path: CPU reconstruction of the decoded MBs, then
         concealment + deblocking (h264bsdConceal semantics)."""
+        self._flush_group()   # refs must be materialized/current
         sps, pps = self.sps, self.pps
         ref_frames = {p.slot: self._cpu_frame(p.frame)
                       for p in self.dpb.buffer
@@ -551,6 +605,7 @@ class Decoder:
         key = (sps.width_mbs, sps.height_mbs, R)
         if getattr(self, "_dstack_key", None) == key:
             return
+        self._flush_group()   # old-geometry group must run first
         hy, wy = K_mcp.luma_ext_dims(sps.width, sps.height)
         hc, wc = K_mcp.chroma_ext_dims(sps.width, sps.height)
         self._stack_y = jnp.zeros((R, hy, wy), jnp.int32)
@@ -577,6 +632,7 @@ class Decoder:
         w, h = sps.width_mbs, sps.height_mbs
         key = (w, h)
         if getattr(self, "_steps_key", None) != key:
+            self._flush_group()
             self._steps = {k: jnp.asarray(v)
                            for k, v in RT.step_tables(w, h).items()}
             self._steps_key = key
@@ -599,8 +655,21 @@ class Decoder:
             if res is not None:
                 self._ensure_stacks()
                 buf, bk = res
-                dbuf = jax.device_put(buf)
                 slot = self.dpb.current.slot
+                if self.group_frames > 1:
+                    # frame-group fast path: queue; the jit runs when
+                    # the group fills (or on any forcing access)
+                    fr = RT.LazyTpuFrame(self._flush_group)
+                    self._group_pend.append({
+                        "buf": buf, "bk": bk, "slot": slot,
+                        "frame": fr,
+                        "cfg": (lay, pps.constrained_intra_pred,
+                                pps.chroma_qp_index_offset, be, wf,
+                                self._steps)})
+                    if len(self._group_pend) >= self.group_frames:
+                        self._flush_group()
+                    return fr
+                dbuf = jax.device_put(buf)
                 y, cb, cr, yuv, self._stack_y, self._stack_c = \
                     RT.decode_picture_packed2(
                         dbuf, self._stack_y, self._stack_c, slot,
@@ -613,6 +682,7 @@ class Decoder:
         if nat.pack_available() and not os.environ.get("BW_NO_PACK"):
             # fast path: ONE packed upload, persistent device DPB stacks
             # updated in place inside a single jit call per picture
+            self._flush_group()   # keep stack-update order
             from . import packed as PK
             lay = PK.get_packed_layout(w, h)
             if getattr(self, "_pack_scratch", None) is None or \
@@ -631,6 +701,7 @@ class Decoder:
                     mc=be, wf=wf)
             return RT.TpuFrame(y, cb, cr, pad=False)
 
+        self._flush_group()
         arrs = RT.host_picture_arrays(pic, pps.chroma_qp_index_offset,
                                       pps.constrained_intra_pred)
         arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
@@ -664,6 +735,7 @@ class Decoder:
     # inter-picture boundary checkpoint restores exactly.
     def save_state(self) -> dict:
         """Snapshot the decode state (host-resident, pickle-able)."""
+        self._flush_group()
         import copy
 
         import numpy as _np

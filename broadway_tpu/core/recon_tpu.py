@@ -211,6 +211,57 @@ class TpuFrame:
                 np.asarray(self.cr).astype(np.uint8).tobytes())
 
 
+class LazyTpuFrame:
+    """Placeholder frame for the frame-group fast path: planes
+    materialize when the decoder flushes the pending picture group
+    (decode_pictures_packed_group). Any pixel access forces the
+    flush, so consumers never observe the deferral."""
+
+    __slots__ = ("_force", "_planes", "_want_fetch")
+
+    def __init__(self, force) -> None:
+        self._force = force
+        self._planes = None
+        self._want_fetch = False
+
+    def _set(self, y, cb, cr, yuv) -> None:
+        self._planes = TpuFrame(y, cb, cr, pad=False, yuv_u8=yuv)
+        if self._want_fetch:
+            self._planes.start_fetch()
+
+    def _ensure(self) -> "TpuFrame":
+        if self._planes is None:
+            self._force()
+        return self._planes
+
+    @property
+    def y(self):
+        return self._ensure().y
+
+    @property
+    def cb(self):
+        return self._ensure().cb
+
+    @property
+    def cr(self):
+        return self._ensure().cr
+
+    @property
+    def yuv_u8(self):
+        return self._ensure().yuv_u8
+
+    def start_fetch(self) -> None:
+        # deferred until the group flush assigns planes (forcing here
+        # would collapse every group to size 1 under prefetch)
+        if self._planes is None:
+            self._want_fetch = True
+        else:
+            self._planes.start_fetch()
+
+    def tobytes(self) -> bytes:
+        return self._ensure().tobytes()
+
+
 def host_picture_arrays(pic: PictureData, chroma_qp_offset: int,
                         constrained_intra: bool,
                         band: tuple = None) -> Dict[str, np.ndarray]:
@@ -984,6 +1035,49 @@ def decode_picture_packed2(buf, ref_y, ref_c, slot, steps, *,
          cb.astype(jnp.uint8).reshape(-1),
          cr.astype(jnp.uint8).reshape(-1)])
     return y, cb, cr, yuv, ref_y, ref_c
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lay", "bk", "constrained_intra",
+                     "chroma_qp_offset", "mc", "wf", "group"),
+    donate_argnums=(1, 2))
+def decode_pictures_packed_group(bufs, ref_y, ref_c, slots, steps, *,
+                                 lay, bk: tuple,
+                                 constrained_intra: bool,
+                                 chroma_qp_offset: int, mc: str,
+                                 wf: str, group: int):
+    """Frame-group fast path: G consecutive pictures of ONE stream
+    decoded inside a single jit call (python-unrolled — picture g+1's
+    MC reads the DPB stacks updated by picture g). Amortizes the
+    per-execution dispatch/RPC overhead that a per-picture jit pays G
+    times; the reference analogue is the worker decoding a whole
+    input chunk of NALs per postMessage (Decoder.js:344-354
+    playStream loop). bufs [G, size] u8 (common bk via expand_buf_v2),
+    slots [G] i32."""
+    from .packed import unpack_arrs_v2
+    ys, cbs, crs, yuvs = [], [], [], []
+    for g in range(group):
+        arrs = unpack_arrs_v2(bufs[g], lay, bk, constrained_intra,
+                              chroma_qp_offset)
+        # same XLA fusion workaround as decode_picture_packed2
+        arrs = jax.lax.optimization_barrier(arrs)
+        y, cb, cr = decode_picture_impl(
+            arrs, ref_y, ref_c, steps, w_mbs=lay.w, h_mbs=lay.h,
+            chroma_qp_offset=chroma_qp_offset, mc=mc, wf=wf)
+        ref_y = jax.lax.dynamic_update_index_in_dim(
+            ref_y, K_mcp.pad_luma(y), slots[g], axis=0)
+        ref_c = jax.lax.dynamic_update_index_in_dim(
+            ref_c, K_mcp.pad_chroma(cb, cr), slots[g], axis=0)
+        ys.append(y)
+        cbs.append(cb)
+        crs.append(cr)
+        yuvs.append(jnp.concatenate(
+            [y.astype(jnp.uint8).reshape(-1),
+             cb.astype(jnp.uint8).reshape(-1),
+             cr.astype(jnp.uint8).reshape(-1)]))
+    return (jnp.stack(ys), jnp.stack(cbs), jnp.stack(crs),
+            jnp.stack(yuvs), ref_y, ref_c)
 
 
 @functools.partial(
