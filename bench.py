@@ -53,6 +53,16 @@ W_MBS = int(os.environ.get("BENCH_W_MBS", "120"))
 H_MBS = int(os.environ.get("BENCH_H_MBS", "68"))
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))
 REPS = int(os.environ.get("BENCH_REPS", "16"))
+# overall wall budget: optional sections are skipped (and say so in
+# the JSON) once exceeded, so the headline always gets printed even
+# under a driver timeout; compile caches persist, so a later run
+# fills in skipped sections
+BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET", "420"))
+_T_START = time.time()
+
+
+def _over_budget():
+    return time.time() - _T_START > BUDGET_S
 
 
 def _bench_e2e(data, fetch: bool, parallel_slices: int = 8):
@@ -127,6 +137,8 @@ def main():
 
     # ---- dense synthetic stream, end-to-end (adversarial load) ---------
     try:
+        if _over_budget():
+            raise TimeoutError("bench time budget exceeded")
         dense = bench_stream(W_MBS, H_MBS, n_frames=8)
         _bench_e2e(dense, fetch=False)    # warm / compile
         fps_dense, _, _ = _bench_e2e(dense, fetch=False)
@@ -134,31 +146,10 @@ def main():
     except Exception as e:
         detail["fps_dense_e2e"] = f"FAILED: {type(e).__name__}: {e}"[:300]
 
-    # ---- multi-stream lockstep batch (BASELINE config 4) ---------------
-    if not os.environ.get("BENCH_SKIP_BATCH"):
-        from broadway_tpu.parallel.streams import \
-            decode_streams_lockstep
-        import streams as STR
-        batch_detail = {}
-        nfb = int(os.environ.get("BENCH_BATCH_FRAMES", "8"))
-        for B in (2, 4, 8):
-            try:
-                datas = [STR.realistic_stream(
-                    width_mbs=W_MBS, height_mbs=H_MBS, n_frames=nfb,
-                    n_slices=8, seed=5000 + s)[0] for s in range(B)]
-                decode_streams_lockstep(datas, fetch=False)   # warm
-                t0 = time.perf_counter()
-                outs = decode_streams_lockstep(datas, fetch=False)
-                dt = time.perf_counter() - t0
-                batch_detail[str(B)] = round(sum(len(o) for o in outs)
-                                             / dt, 2)
-            except Exception as e:
-                batch_detail[str(B)] = \
-                    f"FAILED: {type(e).__name__}: {e}"[:200]
-        detail["fps_batch_aggregate"] = batch_detail
-
     # ---- pipeline-only (kernel steady state, dense tensors) ------------
     try:
+        if _over_budget():
+            raise TimeoutError("bench time budget exceeded")
         mc = RT.default_mc_backend()
         pics = parse_pictures(bench_stream(W_MBS, H_MBS, n_frames=3),
                               max_pics=2)
@@ -187,6 +178,36 @@ def main():
             REPS / (time.perf_counter() - t0), 2)
     except Exception as e:
         detail["fps_pipeline"] = f"FAILED: {type(e).__name__}"
+
+    # ---- multi-stream lockstep batch (BASELINE config 4) ---------------
+    if not os.environ.get("BENCH_SKIP_BATCH"):
+        from broadway_tpu.parallel.streams import \
+            decode_streams_lockstep
+        import streams as STR
+        batch_detail = {}
+        nfb = int(os.environ.get("BENCH_BATCH_FRAMES", "8"))
+        for B in (2, 4, 8):
+            try:
+                if _over_budget():
+                    raise TimeoutError("bench time budget exceeded")
+                datas = [STR.realistic_stream(
+                    width_mbs=W_MBS, height_mbs=H_MBS, n_frames=nfb,
+                    n_slices=8, seed=5000 + s)[0] for s in range(B)]
+                # warm on a 2-frame prefix (covers the I- and P-frame
+                # jit signatures + compile-cache deserialization)
+                warm = [STR.realistic_stream(
+                    width_mbs=W_MBS, height_mbs=H_MBS, n_frames=2,
+                    n_slices=8, seed=5000 + s)[0] for s in range(B)]
+                decode_streams_lockstep(warm, fetch=False)
+                t0 = time.perf_counter()
+                outs = decode_streams_lockstep(datas, fetch=False)
+                dt = time.perf_counter() - t0
+                batch_detail[str(B)] = round(sum(len(o) for o in outs)
+                                             / dt, 2)
+            except Exception as e:
+                batch_detail[str(B)] = \
+                    f"FAILED: {type(e).__name__}: {e}"[:200]
+        detail["fps_batch_aggregate"] = batch_detail
 
     print(json.dumps({
         "metric": f"frames/sec/chip {W_MBS * 16}x{H_MBS * 16} Baseline "

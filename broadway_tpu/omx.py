@@ -113,12 +113,10 @@ class SoftAvc:
             self._crop = crop
             self._event_cb(Event.CROP_CHANGED, (crop,))
 
-    def _emit(self, pic, eos: bool) -> None:
+    def _emit(self, pic) -> None:
         self._out_q.append(OutputBuffer(
             data=pic.output_picture, width=pic.width, height=pic.height,
-            crop=pic.crop, pic_id=pic.pic_id, eos=eos, frame=pic.frame))
-        if eos:
-            self._eos_sent = True
+            crop=pic.crop, pic_id=pic.pic_id, frame=pic.frame))
 
     def _pump_outputs(self, flush: bool) -> bool:
         """Move decoded pictures to the output queue while the port is
@@ -146,7 +144,7 @@ class SoftAvc:
                     # re-queue: deliver after reconfigure
                     self._dec._pending.insert(0, _requeue(pic))
                     return False
-            self._emit(pic, eos=False)
+            self._emit(pic)
         return True
 
     def process(self) -> None:

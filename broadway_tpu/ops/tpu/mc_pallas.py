@@ -56,7 +56,7 @@ LSLAB_R = 40      # luma slab rows   (covers y-spread <= 23 after align-8)
 CSLAB_R = 24      # chroma slab rows (covers y-spread <= 14 after align-8)
 SLAB_L = 256      # slab lanes (covers x-spread <= 119 after align-128)
 BSLAB_R = 24      # mode-2 per-block luma slab-let rows
-MC_DEPTH = 4      # slab DMA software-pipeline depth (ring slots)
+MC_B = 4          # MBs processed per grid step (amortizes step cost)
 BCSLAB_R = 16     # mode-2 per-block chroma slab-let rows
 
 # host-side classification limits implied by the shapes above
@@ -357,13 +357,12 @@ def _mc_kernel(s0, s1, s2, blkdata_hbm, vec, ref_y, ref_c,
                slab_y, slab_c, bslab_y, bslab_c, t1, t1c,
                blkrow, sem_s, sem_b, sem_bc, sem_r):
     m = pl.program_id(0)
-    NM = pl.num_programs(0)
-    w0 = s0[m]
-    mode = w0 & 3
+    NM = pl.num_programs(0)          # grid steps (MC_B MBs each)
 
-    # ---- slab DMAs, software-pipelined DEPTH MBs ahead ----------------
-    # (per-step compute is ~0.3 us while a slab DMA's latency is ~1 us;
-    # a 1-deep pipeline stalled every step, so issue DEPTH-1 ahead)
+    # ---- slab DMAs, software-pipelined one STEP (MC_B MBs) ahead ------
+    # processing MC_B MBs per grid step amortizes the fixed per-step
+    # sequencing cost that dominated the 1-MB/step kernel (~1.3 us/MB
+    # measured vs ~0.5 us of actual compute)
     def slab_copies(mm, par):
         w = s0[mm]
         rr = w >> 2
@@ -378,133 +377,142 @@ def _mc_kernel(s0, s1, s2, blkdata_hbm, vec, ref_y, ref_c,
                     ref_c.at[rr, pl.ds(ca, CSLAB_R), pl.ds(cx, SLAB_L)],
                     slab_c.at[par], sem_s.at[par, 1])]
 
-    @pl.when(m == 0)
-    def _():
-        for k in range(min(MC_DEPTH - 1, NM)):
-            @pl.when((s0[k] & 3) < 2)
+    def issue_step(step):
+        for b in range(MC_B):
+            mm = step * MC_B + b
+            @pl.when((s0[mm] & 3) < 2)
             def _():
-                for cp in slab_copies(k, k % MC_DEPTH):
+                for cp in slab_copies(mm, mm % (2 * MC_B)):
                     cp.start()
 
-    @pl.when(mode == 2)
+    @pl.when(m == 0)
     def _():
-        cp = pltpu.make_async_copy(
-            blkdata_hbm.at[pl.ds(m * 1024, 1024)], blkrow, sem_r)
-        cp.start()
-        cp.wait()
-        for b in range(16):
-            wo = blkrow[2 * b]
-            rb = blkrow[2 * b + 1]
-            by0 = pl.multiple_of((wo & 0x1FF) * 8, 8)
-            bx0 = pl.multiple_of(((wo >> 9) & 0x3F) * 128, 128)
-            cby0 = pl.multiple_of(((wo >> 15) & 0xFF) * 8, 8)
-            cbx0 = pl.multiple_of(((wo >> 23) & 0x3F) * 128, 128)
-            pltpu.make_async_copy(
-                ref_y.at[rb, pl.ds(by0, BSLAB_R), pl.ds(bx0, SLAB_L)],
-                bslab_y.at[:, pl.ds(b * SLAB_L, SLAB_L)],
-                sem_b.at[b]).start()
-            pltpu.make_async_copy(
-                ref_c.at[rb, pl.ds(cby0, BCSLAB_R), pl.ds(cbx0, SLAB_L)],
-                bslab_c.at[:, pl.ds(b * SLAB_L, SLAB_L)],
-                sem_bc.at[b]).start()
+        issue_step(0)
 
-    # ---- lane-gather into T (one-hot MXU) ----------------------------
-    dxp = vec[0, 0, :]
-    cxp = vec[0, 3, :]
-
-    @pl.when(mode < 2)
+    @pl.when(m + 1 < NM)
     def _():
-        for cp in slab_copies(m, m % MC_DEPTH):
-            cp.wait()
+        issue_step(m + 1)
 
-    @pl.when(m + MC_DEPTH - 1 < NM)
-    def _():
-        nxt = m + MC_DEPTH - 1
-        @pl.when((s0[nxt] & 3) < 2)
+    def one_mb(b):
+        mm = m * MC_B + b
+        w0 = s0[mm]
+        mode = w0 & 3
+        par = mm % (2 * MC_B)
+
+        @pl.when(mode == 2)
         def _():
-            for cp in slab_copies(nxt, nxt % MC_DEPTH):
-                cp.start()
+            cp = pltpu.make_async_copy(
+                blkdata_hbm.at[pl.ds(mm * 1024, 1024)], blkrow, sem_r)
+            cp.start()
+            cp.wait()
+            for k in range(16):
+                wo = blkrow[2 * k]
+                rb = blkrow[2 * k + 1]
+                by0 = pl.multiple_of((wo & 0x1FF) * 8, 8)
+                bx0 = pl.multiple_of(((wo >> 9) & 0x3F) * 128, 128)
+                cby0 = pl.multiple_of(((wo >> 15) & 0xFF) * 8, 8)
+                cbx0 = pl.multiple_of(((wo >> 23) & 0x3F) * 128, 128)
+                pltpu.make_async_copy(
+                    ref_y.at[rb, pl.ds(by0, BSLAB_R), pl.ds(bx0, SLAB_L)],
+                    bslab_y.at[:, pl.ds(k * SLAB_L, SLAB_L)],
+                    sem_b.at[k]).start()
+                pltpu.make_async_copy(
+                    ref_c.at[rb, pl.ds(cby0, BCSLAB_R),
+                             pl.ds(cbx0, SLAB_L)],
+                    bslab_c.at[:, pl.ds(k * SLAB_L, SLAB_L)],
+                    sem_bc.at[k]).start()
 
-    @pl.when(mode < 2)
-    def _():
-        G = _onehot_cols(dxp, SLAB_L)
-        t1[...] = jnp.dot(slab_y[m % MC_DEPTH].astype(jnp.bfloat16), G,
-                          preferred_element_type=jnp.float32)
-        Gc = _onehot_cols(cxp, SLAB_L)
-        t1c[...] = jnp.dot(slab_c[m % MC_DEPTH].astype(jnp.bfloat16), Gc,
-                           preferred_element_type=jnp.float32)
+        # ---- lane-gather into T (one-hot MXU) ------------------------
+        dxp = vec[b, 0, :]
+        cxp = vec[b, 3, :]
 
-    @pl.when(mode == 2)
-    def _():
-        for b in range(16):
-            pltpu.make_async_copy(
-                ref_y.at[0, pl.ds(0, BSLAB_R), pl.ds(0, SLAB_L)],
-                bslab_y.at[:, pl.ds(0, SLAB_L)], sem_b.at[b]).wait()
-            pltpu.make_async_copy(
-                ref_c.at[0, pl.ds(0, BCSLAB_R), pl.ds(0, SLAB_L)],
-                bslab_c.at[:, pl.ds(0, SLAB_L)], sem_bc.at[b]).wait()
-        G2 = _onehot_cols(dxp, 16 * SLAB_L)
-        t1[0:BSLAB_R] = jnp.dot(bslab_y[...].astype(jnp.bfloat16), G2,
-                                preferred_element_type=jnp.float32)
-        Gc2 = _onehot_cols(cxp, 16 * SLAB_L)
-        t1c[0:BCSLAB_R] = jnp.dot(bslab_c[...].astype(jnp.bfloat16), Gc2,
-                                  preferred_element_type=jnp.float32)
+        @pl.when(mode < 2)
+        def _():
+            for cp in slab_copies(mm, par):
+                cp.wait()
+            G = _onehot_cols(dxp, SLAB_L)
+            t1[...] = jnp.dot(slab_y[par].astype(jnp.bfloat16), G,
+                              preferred_element_type=jnp.float32)
+            Gc = _onehot_cols(cxp, SLAB_L)
+            t1c[...] = jnp.dot(slab_c[par].astype(jnp.bfloat16), Gc,
+                               preferred_element_type=jnp.float32)
 
-    # ---- luma filter + candidate planes (int32, static rolls) --------
-    T = t1[...].astype(jnp.int32)                       # [40,256]
-    raw_h = _tap6_lanes(T)
-    b_full = _clip8((raw_h + 16) >> 5)
-    hh_full = _clip8((_tap6_rows(T) + 16) >> 5)
-    jj_full = _clip8((_tap6_rows(raw_h) + 512) >> 10)
-    # align planes so lane L=16b+2+x, row r=y0+2+y reads pixel (y, x)
-    g = T
-    bp = _roll(b_full, 2, 1)
-    hp = _roll(hh_full, 2, 0)
-    jp = _roll(_roll(jj_full, 2, 0), 2, 1)
+        @pl.when(mode == 2)
+        def _():
+            for k in range(16):
+                pltpu.make_async_copy(
+                    ref_y.at[0, pl.ds(0, BSLAB_R), pl.ds(0, SLAB_L)],
+                    bslab_y.at[:, pl.ds(0, SLAB_L)], sem_b.at[k]).wait()
+                pltpu.make_async_copy(
+                    ref_c.at[0, pl.ds(0, BCSLAB_R), pl.ds(0, SLAB_L)],
+                    bslab_c.at[:, pl.ds(0, SLAB_L)], sem_bc.at[k]).wait()
+            G2 = _onehot_cols(dxp, 16 * SLAB_L)
+            t1[0:BSLAB_R] = jnp.dot(bslab_y[...].astype(jnp.bfloat16), G2,
+                                    preferred_element_type=jnp.float32)
+            Gc2 = _onehot_cols(cxp, 16 * SLAB_L)
+            t1c[0:BCSLAB_R] = jnp.dot(
+                bslab_c[...].astype(jnp.bfloat16), Gc2,
+                preferred_element_type=jnp.float32)
 
-    g01 = _rl(g, 1)
-    g10 = _rs(g, 1)
-    b1 = _rs(bp, 1)
-    h1 = _rl(hp, 1)
-    cands = [g, _avg(g, bp), bp, _avg(g01, bp),
-             _avg(g, hp), _avg(bp, hp), _avg(jp, bp), _avg(bp, h1),
-             hp, _avg(jp, hp), jp, _avg(jp, h1),
-             _avg(g10, hp), _avg(b1, hp), _avg(jp, b1), _avg(b1, h1)]
-    case_l = vec[0, 2, :][None, :]
-    sel = cands[0]
-    for k in range(1, 16):
-        sel = jnp.where(case_l == k, cands[k], sel)
+        # ---- luma filter + candidate planes (int32, static rolls) ----
+        T = t1[...].astype(jnp.int32)                   # [40,256]
+        raw_h = _tap6_lanes(T)
+        b_full = _clip8((raw_h + 16) >> 5)
+        hh_full = _clip8((_tap6_rows(T) + 16) >> 5)
+        jj_full = _clip8((_tap6_rows(raw_h) + 512) >> 10)
+        # align planes so lane L=16k+2+x, row r=y0+2+y reads pixel (y,x)
+        g = T
+        bp = _roll(b_full, 2, 1)
+        hp = _roll(hh_full, 2, 0)
+        jp = _roll(_roll(jj_full, 2, 0), 2, 1)
 
-    # ---- luma row-gather (one-hot MXU) + write ------------------------
-    dyp = vec[0, 1, :]
-    R = _onehot_cols(dyp, LSLAB_R)                      # [40,256]
-    ext = jax.lax.dot_general(
-        R, sel.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    for b in range(16):
-        yy, xx = (b >> 2) * 4, (b & 3) * 4
-        out_y[0, yy:yy + 4, xx:xx + 4] = ext[16 * b:16 * b + 4,
-                                             16 * b + 2:16 * b + 6]
+        g01 = _rl(g, 1)
+        g10 = _rs(g, 1)
+        b1 = _rs(bp, 1)
+        h1 = _rl(hp, 1)
+        cands = [g, _avg(g, bp), bp, _avg(g01, bp),
+                 _avg(g, hp), _avg(bp, hp), _avg(jp, bp), _avg(bp, h1),
+                 hp, _avg(jp, hp), jp, _avg(jp, h1),
+                 _avg(g10, hp), _avg(b1, hp), _avg(jp, b1),
+                 _avg(b1, h1)]
+        case_l = vec[b, 2, :][None, :]
+        sel = cands[0]
+        for k in range(1, 16):
+            sel = jnp.where(case_l == k, cands[k], sel)
 
-    # ---- chroma bilinear + row-gather + write -------------------------
-    C1 = t1c[...].astype(jnp.int32)                     # [24,256]
-    cdx = vec[0, 5, :][None, :]
-    cdy = vec[0, 6, :][None, :]
-    A = C1
-    B = _rl(C1, 2)
-    C = _rs(C1, 1)
-    D = _rl(C, 2)
-    pc = ((8 - cdx) * (8 - cdy) * A + cdx * (8 - cdy) * B
-          + (8 - cdx) * cdy * C + cdx * cdy * D + 32) >> 6
-    cyp = vec[0, 4, :]
-    Rc = _onehot_cols(cyp, CSLAB_R)
-    extc = jax.lax.dot_general(
-        Rc, pc.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(jnp.int32)
-    for b in range(16):
-        yy, xx = (b >> 2) * 2, (b & 3) * 4
-        out_c[0, yy:yy + 2, xx:xx + 4] = extc[16 * b:16 * b + 2,
-                                              16 * b:16 * b + 4]
+        # ---- luma row-gather (one-hot MXU) + write -------------------
+        dyp = vec[b, 1, :]
+        R = _onehot_cols(dyp, LSLAB_R)                  # [40,256]
+        ext = jax.lax.dot_general(
+            R, sel.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        for k in range(16):
+            yy, xx = (k >> 2) * 4, (k & 3) * 4
+            out_y[b, yy:yy + 4, xx:xx + 4] = ext[16 * k:16 * k + 4,
+                                                 16 * k + 2:16 * k + 6]
+
+        # ---- chroma bilinear + row-gather + write --------------------
+        C1 = t1c[...].astype(jnp.int32)                 # [24,256]
+        cdx = vec[b, 5, :][None, :]
+        cdy = vec[b, 6, :][None, :]
+        A = C1
+        B = _rl(C1, 2)
+        C = _rs(C1, 1)
+        D = _rl(C, 2)
+        pc = ((8 - cdx) * (8 - cdy) * A + cdx * (8 - cdy) * B
+              + (8 - cdx) * cdy * C + cdx * cdy * D + 32) >> 6
+        cyp = vec[b, 4, :]
+        Rc = _onehot_cols(cyp, CSLAB_R)
+        extc = jax.lax.dot_general(
+            Rc, pc.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        for k in range(16):
+            yy, xx = (k >> 2) * 2, (k & 3) * 4
+            out_c[b, yy:yy + 2, xx:xx + 4] = extc[16 * k:16 * k + 2,
+                                                  16 * k:16 * k + 4]
+
+    for b in range(MC_B):
+        one_mb(b)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -515,43 +523,52 @@ def mc_predict(ref_y: jnp.ndarray, ref_c: jnp.ndarray, tables,
     ref_y [R, HyE, WyE] i32 (pad_luma), ref_c [R, HcE, WcE] i32
     (pad_chroma), tables from mc_tables (as device arrays).
     Returns pred_y [nMB,16,16] i32, pred_c [nMB,8,16] i32 (interleaved:
-    lane 2k = cb, 2k+1 = cr)."""
+    lane 2k = cb, 2k+1 = cr). The MB count is padded to a multiple of
+    MC_B internally (pad MBs are mode 0 at origin 0 — in-bounds reads,
+    outputs dropped)."""
     n = tables["scal0"].shape[0]
+    n4 = -(-n // MC_B) * MC_B
+    pad = n4 - n
+    s0 = jnp.pad(tables["scal0"], (0, pad))
+    s1 = jnp.pad(tables["scal1"], (0, pad))
+    s2 = jnp.pad(tables["scal2"], (0, pad))
+    blkdata = jnp.pad(tables["blkdata"], (0, pad * 1024))
+    blkvec = jnp.pad(tables["blkvec"], ((0, pad), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(n,),
+        grid=(n4 // MC_B,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # blkdata
-            pl.BlockSpec((1, 8, 256), lambda m, *_: (m, 0, 0),
+            pl.BlockSpec((MC_B, 8, 256), lambda m, *_: (m, 0, 0),
                          memory_space=pltpu.VMEM),   # blkvec
             pl.BlockSpec(memory_space=pl.ANY),       # ref_y
             pl.BlockSpec(memory_space=pl.ANY),       # ref_c
         ],
         out_specs=[
-            pl.BlockSpec((1, 16, 16), lambda m, *_: (m, 0, 0),
+            pl.BlockSpec((MC_B, 16, 16), lambda m, *_: (m, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 16), lambda m, *_: (m, 0, 0),
+            pl.BlockSpec((MC_B, 8, 16), lambda m, *_: (m, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((MC_DEPTH, LSLAB_R, SLAB_L), jnp.int32),
-            pltpu.VMEM((MC_DEPTH, CSLAB_R, SLAB_L), jnp.int32),
+            pltpu.VMEM((2 * MC_B, LSLAB_R, SLAB_L), jnp.int32),
+            pltpu.VMEM((2 * MC_B, CSLAB_R, SLAB_L), jnp.int32),
             pltpu.VMEM((BSLAB_R, 16 * SLAB_L), jnp.int32),
             pltpu.VMEM((BCSLAB_R, 16 * SLAB_L), jnp.int32),
             pltpu.VMEM((LSLAB_R, SLAB_L), jnp.float32),
             pltpu.VMEM((CSLAB_R, SLAB_L), jnp.float32),
             pltpu.SMEM((1024,), jnp.int32),
-            pltpu.SemaphoreType.DMA((MC_DEPTH, 2)),
+            pltpu.SemaphoreType.DMA((2 * MC_B, 2)),
             pltpu.SemaphoreType.DMA((16,)),
             pltpu.SemaphoreType.DMA((16,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    return pl.pallas_call(
+    py, pc = pl.pallas_call(
         _mc_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, 16, 16), jnp.int32),
-                   jax.ShapeDtypeStruct((n, 8, 16), jnp.int32)],
+        out_shape=[jax.ShapeDtypeStruct((n4, 16, 16), jnp.int32),
+                   jax.ShapeDtypeStruct((n4, 8, 16), jnp.int32)],
         interpret=interpret,
-    )(tables["scal0"], tables["scal1"], tables["scal2"],
-      tables["blkdata"], tables["blkvec"], ref_y, ref_c)
+    )(s0, s1, s2, blkdata, blkvec, ref_y, ref_c)
+    return py[:n], pc[:n]

@@ -430,7 +430,12 @@ def deblock_wavefront(Y, C, P, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((S, LS, 256), jnp.int32),
                    jax.ShapeDtypeStruct((S, LS, 128), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # multi-stream LANE batching grows the per-step working set
+        # past the default 16 MB scoped-vmem budget (B=8 at 1080p
+        # needs ~30 MB); raise the limit so wide batches compile
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(_MT16, jnp.bfloat16), jnp.asarray(_MT8, jnp.bfloat16),
       Y, C, P)
@@ -743,7 +748,10 @@ def intra_wavefront(Y, C, RY, RC, P, interpret: bool = False):
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((S, LS, 256), jnp.int32),
                    jax.ShapeDtypeStruct((S, LS, 128), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # see deblock_wavefront: wide LANE batches need >16 MB scoped
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(_MT16, jnp.bfloat16), jnp.asarray(_MT8, jnp.bfloat16),
       jnp.asarray(_MP16, jnp.bfloat16), jnp.asarray(_W4, jnp.bfloat16),
