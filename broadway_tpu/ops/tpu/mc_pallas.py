@@ -164,6 +164,16 @@ def mc_tables(mv: np.ndarray, ref_blk: np.ndarray, width: int, height: int):
     scal0 = mode | (reff[:, 0] << 2)
     scal1 = ly0a | (lx0a << 12)
     scal2 = cy0a | (cx0a << 12)
+    # uniform-MB (mode 0) scalars: window offsets inside the slab,
+    # fractional case, chroma offsets/weights — the kernel's fast path
+    # extracts by dynamic roll instead of one-hot matmuls
+    u_dy = y0f[:, 0] - ly0a
+    u_dx = x0f[:, 0] - lx0a
+    u_cy = cy0f[:, 0] - cy0a
+    u_cx = 2 * cx0f[:, 0] - cx0a
+    scal3 = (u_dy | (u_dx << 3) | (casef[:, 0] << 10) | (u_cy << 14)
+             | (u_cx << 17) | (cdxf[:, 0] << 24) | (cdyf[:, 0] << 27))
+    scal3 = np.where(mode == 0, scal3, 0).astype(np.int32)
 
     # mode-2 per-block slab-let origins (packed scalar words)
     bly0a = y0f & ~7
@@ -206,8 +216,8 @@ def mc_tables(mv: np.ndarray, ref_blk: np.ndarray, width: int, height: int):
 
     to32 = lambda a: a.astype(np.int32)
     return {"scal0": to32(scal0), "scal1": to32(scal1),
-            "scal2": to32(scal2), "blkdata": to32(blkdata),
-            "blkvec": to32(blkvec)}
+            "scal2": to32(scal2), "scal3": to32(scal3),
+            "blkdata": to32(blkdata), "blkvec": to32(blkvec)}
 
 
 def mc_tables_dev(mv, ref_blk, width: int, height: int,
@@ -274,6 +284,14 @@ def mc_tables_dev(mv, ref_blk, width: int, height: int,
     scal0 = mode | (reff[:, 0] << 2)
     scal1 = ly0a | (lx0a << 12)
     scal2 = cy0a | (cx0a << 12)
+    u_dy = y0f[:, 0] - ly0a
+    u_dx = x0f[:, 0] - lx0a
+    u_cy = cy0f[:, 0] - cy0a
+    u_cx = 2 * cx0f[:, 0] - cx0a
+    scal3 = jnp.where(
+        mode == 0,
+        u_dy | (u_dx << 3) | (casef[:, 0] << 10) | (u_cy << 14)
+        | (u_cx << 17) | (cdxf[:, 0] << 24) | (cdyf[:, 0] << 27), 0)
 
     bly0a = y0f & ~7
     blx0a = x0f & ~127
@@ -310,6 +328,7 @@ def mc_tables_dev(mv, ref_blk, width: int, height: int,
     return {"scal0": scal0.astype(jnp.int32),
             "scal1": scal1.astype(jnp.int32),
             "scal2": scal2.astype(jnp.int32),
+            "scal3": scal3.astype(jnp.int32),
             "blkdata": blkdata, "blkvec": blkvec}
 
 
@@ -352,7 +371,7 @@ def _onehot_cols(targets, rows, dtype=jnp.bfloat16):
     return jnp.where(r == targets[None, :], 1, 0).astype(dtype)
 
 
-def _mc_kernel(s0, s1, s2, blkdata_hbm, vec, ref_y, ref_c,
+def _mc_kernel(s0, s1, s2, s3, blkdata_hbm, vec, ref_y, ref_c,
                out_y, out_c,
                slab_y, slab_c, bslab_y, bslab_c, t1, t1c,
                blkrow, sem_s, sem_b, sem_bc, sem_r):
@@ -422,94 +441,207 @@ def _mc_kernel(s0, s1, s2, blkdata_hbm, vec, ref_y, ref_c,
                     bslab_c.at[:, pl.ds(k * SLAB_L, SLAB_L)],
                     sem_bc.at[k]).start()
 
-        # ---- lane-gather into T (one-hot MXU) ------------------------
-        dxp = vec[b, 0, :]
-        cxp = vec[b, 3, :]
-
         @pl.when(mode < 2)
         def _():
             for cp in slab_copies(mm, par):
                 cp.wait()
-            G = _onehot_cols(dxp, SLAB_L)
-            t1[...] = jnp.dot(slab_y[par].astype(jnp.bfloat16), G,
-                              preferred_element_type=jnp.float32)
-            Gc = _onehot_cols(cxp, SLAB_L)
-            t1c[...] = jnp.dot(slab_c[par].astype(jnp.bfloat16), Gc,
-                               preferred_element_type=jnp.float32)
 
-        @pl.when(mode == 2)
+        # ---- mode-0 fast path: uniform MV, no matmuls ----------------
+        # 90% of realistic-content MBs are uniform (whole-MB MV/ref):
+        # the 16x16 output is one contiguous window of the filtered
+        # slab, so extraction is two dynamic rolls + one store, and
+        # only the selected fractional-position plane is computed
+        # (each case is a pl.when branch). The one-hot-matmul path
+        # below (modes 1/2) costs ~1.2 us/MB, almost all of it in six
+        # small MXU dots whose M dimension is 40.
+        @pl.when(mode == 0)
         def _():
+            w3 = s3[mm]
+            dyb = w3 & 7
+            dxb = (w3 >> 3) & 127
+            case = (w3 >> 10) & 15
+            cyb = (w3 >> 14) & 7
+            cxb = (w3 >> 17) & 127
+            cdx = (w3 >> 24) & 7
+            cdy = (w3 >> 27) & 7
+            slab = slab_y[par]
+
+            def cut(plane, dy, dx):
+                r = pltpu.roll(plane, (LSLAB_R - dy) % LSLAB_R, axis=0)
+                r = pltpu.roll(r, (SLAB_L - dx) % SLAB_L, axis=1)
+                return r[0:16, 0:16]
+
+            def cand_case(k):
+                # planes on raw slab coords; pixel (y, x) of the MB
+                # window lives at slab (dyb+2+y, dxb+2+x); each case
+                # branch computes ONLY the filter planes it references
+                # (this laziness is most of the fast path's win: full-
+                # pel and single-half cases skip 1-2 six-tap passes)
+                g = slab
+                if k == 0:
+                    return cut(g, dyb + 2, dxb + 2)
+                need_b = k in (1, 2, 3, 5, 6, 7, 13, 14, 15)
+                need_h = k in (4, 5, 7, 8, 9, 11, 12, 13, 15)
+                need_j = k in (6, 9, 10, 11, 14)
+                bpl = hpl = jpl = None
+                if need_b or need_j:
+                    raw_h = _tap6_lanes(slab)
+                if need_b:
+                    bpl = _clip8((raw_h + 16) >> 5)
+                if need_h:
+                    hpl = _clip8((_tap6_rows(slab) + 16) >> 5)
+                if need_j:
+                    jpl = _clip8((_tap6_rows(raw_h) + 512) >> 10)
+                # plane coords: b[r, c] = half-pel right of (r, c+2);
+                # h[r, c] = half-pel below (r+2, c); j[r+2, c+2]
+                if k == 1:
+                    a1 = cut(g, dyb + 2, dxb + 2)
+                    a2 = cut(bpl, dyb + 2, dxb)
+                elif k == 2:
+                    return cut(bpl, dyb + 2, dxb)
+                elif k == 3:
+                    a1 = cut(g, dyb + 2, dxb + 3)
+                    a2 = cut(bpl, dyb + 2, dxb)
+                elif k == 4:
+                    a1 = cut(g, dyb + 2, dxb + 2)
+                    a2 = cut(hpl, dyb, dxb + 2)
+                elif k == 5:
+                    a1 = cut(bpl, dyb + 2, dxb)
+                    a2 = cut(hpl, dyb, dxb + 2)
+                elif k == 6:
+                    a1 = cut(jpl, dyb, dxb)
+                    a2 = cut(bpl, dyb + 2, dxb)
+                elif k == 7:
+                    a1 = cut(bpl, dyb + 2, dxb)
+                    a2 = cut(hpl, dyb, dxb + 3)
+                elif k == 8:
+                    return cut(hpl, dyb, dxb + 2)
+                elif k == 9:
+                    a1 = cut(jpl, dyb, dxb)
+                    a2 = cut(hpl, dyb, dxb + 2)
+                elif k == 10:
+                    return cut(jpl, dyb, dxb)
+                elif k == 11:
+                    a1 = cut(jpl, dyb, dxb)
+                    a2 = cut(hpl, dyb, dxb + 3)
+                elif k == 12:
+                    a1 = cut(g, dyb + 3, dxb + 2)
+                    a2 = cut(hpl, dyb, dxb + 2)
+                elif k == 13:
+                    a1 = cut(bpl, dyb + 3, dxb)
+                    a2 = cut(hpl, dyb, dxb + 2)
+                elif k == 14:
+                    a1 = cut(jpl, dyb, dxb)
+                    a2 = cut(bpl, dyb + 3, dxb)
+                else:
+                    a1 = cut(bpl, dyb + 3, dxb)
+                    a2 = cut(hpl, dyb, dxb + 3)
+                return _avg(a1, a2)
+
             for k in range(16):
-                pltpu.make_async_copy(
-                    ref_y.at[0, pl.ds(0, BSLAB_R), pl.ds(0, SLAB_L)],
-                    bslab_y.at[:, pl.ds(0, SLAB_L)], sem_b.at[k]).wait()
-                pltpu.make_async_copy(
-                    ref_c.at[0, pl.ds(0, BCSLAB_R), pl.ds(0, SLAB_L)],
-                    bslab_c.at[:, pl.ds(0, SLAB_L)], sem_bc.at[k]).wait()
-            G2 = _onehot_cols(dxp, 16 * SLAB_L)
-            t1[0:BSLAB_R] = jnp.dot(bslab_y[...].astype(jnp.bfloat16), G2,
-                                    preferred_element_type=jnp.float32)
-            Gc2 = _onehot_cols(cxp, 16 * SLAB_L)
-            t1c[0:BCSLAB_R] = jnp.dot(
-                bslab_c[...].astype(jnp.bfloat16), Gc2,
-                preferred_element_type=jnp.float32)
+                @pl.when(case == k)
+                def _(k=k):
+                    out_y[b, :, :] = cand_case(k)
 
-        # ---- luma filter + candidate planes (int32, static rolls) ----
-        T = t1[...].astype(jnp.int32)                   # [40,256]
-        raw_h = _tap6_lanes(T)
-        b_full = _clip8((raw_h + 16) >> 5)
-        hh_full = _clip8((_tap6_rows(T) + 16) >> 5)
-        jj_full = _clip8((_tap6_rows(raw_h) + 512) >> 10)
-        # align planes so lane L=16k+2+x, row r=y0+2+y reads pixel (y,x)
-        g = T
-        bp = _roll(b_full, 2, 1)
-        hp = _roll(hh_full, 2, 0)
-        jp = _roll(_roll(jj_full, 2, 0), 2, 1)
+            cslab = slab_c[par]
+            A = cslab
+            Bc_ = _rl(cslab, 2)
+            Cc_ = _rs(cslab, 1)
+            Dc_ = _rl(Cc_, 2)
+            pcu = ((8 - cdx) * (8 - cdy) * A + cdx * (8 - cdy) * Bc_
+                   + (8 - cdx) * cdy * Cc_ + cdx * cdy * Dc_ + 32) >> 6
+            rr = pltpu.roll(pcu, (CSLAB_R - cyb) % CSLAB_R, axis=0)
+            rr = pltpu.roll(rr, (SLAB_L - cxb) % SLAB_L, axis=1)
+            out_c[b, :, :] = rr[0:8, 0:16]
 
-        g01 = _rl(g, 1)
-        g10 = _rs(g, 1)
-        b1 = _rs(bp, 1)
-        h1 = _rl(hp, 1)
-        cands = [g, _avg(g, bp), bp, _avg(g01, bp),
-                 _avg(g, hp), _avg(bp, hp), _avg(jp, bp), _avg(bp, h1),
-                 hp, _avg(jp, hp), jp, _avg(jp, h1),
-                 _avg(g10, hp), _avg(b1, hp), _avg(jp, b1),
-                 _avg(b1, h1)]
-        case_l = vec[b, 2, :][None, :]
-        sel = cands[0]
-        for k in range(1, 16):
-            sel = jnp.where(case_l == k, cands[k], sel)
+        # ---- modes 1/2: per-block windows via one-hot MXU gathers ----
+        @pl.when(mode >= 1)
+        def _():
+            dxp = vec[b, 0, :]
+            cxp = vec[b, 3, :]
 
-        # ---- luma row-gather (one-hot MXU) + write -------------------
-        dyp = vec[b, 1, :]
-        R = _onehot_cols(dyp, LSLAB_R)                  # [40,256]
-        ext = jax.lax.dot_general(
-            R, sel.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        for k in range(16):
-            yy, xx = (k >> 2) * 4, (k & 3) * 4
-            out_y[b, yy:yy + 4, xx:xx + 4] = ext[16 * k:16 * k + 4,
-                                                 16 * k + 2:16 * k + 6]
+            @pl.when(mode == 1)
+            def _():
+                G = _onehot_cols(dxp, SLAB_L)
+                t1[...] = jnp.dot(slab_y[par].astype(jnp.bfloat16), G,
+                                  preferred_element_type=jnp.float32)
+                Gc = _onehot_cols(cxp, SLAB_L)
+                t1c[...] = jnp.dot(slab_c[par].astype(jnp.bfloat16), Gc,
+                                   preferred_element_type=jnp.float32)
 
-        # ---- chroma bilinear + row-gather + write --------------------
-        C1 = t1c[...].astype(jnp.int32)                 # [24,256]
-        cdx = vec[b, 5, :][None, :]
-        cdy = vec[b, 6, :][None, :]
-        A = C1
-        B = _rl(C1, 2)
-        C = _rs(C1, 1)
-        D = _rl(C, 2)
-        pc = ((8 - cdx) * (8 - cdy) * A + cdx * (8 - cdy) * B
-              + (8 - cdx) * cdy * C + cdx * cdy * D + 32) >> 6
-        cyp = vec[b, 4, :]
-        Rc = _onehot_cols(cyp, CSLAB_R)
-        extc = jax.lax.dot_general(
-            Rc, pc.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(jnp.int32)
-        for k in range(16):
-            yy, xx = (k >> 2) * 2, (k & 3) * 4
-            out_c[b, yy:yy + 2, xx:xx + 4] = extc[16 * k:16 * k + 2,
-                                                  16 * k:16 * k + 4]
+            @pl.when(mode == 2)
+            def _():
+                for k in range(16):
+                    pltpu.make_async_copy(
+                        ref_y.at[0, pl.ds(0, BSLAB_R), pl.ds(0, SLAB_L)],
+                        bslab_y.at[:, pl.ds(0, SLAB_L)], sem_b.at[k]).wait()
+                    pltpu.make_async_copy(
+                        ref_c.at[0, pl.ds(0, BCSLAB_R), pl.ds(0, SLAB_L)],
+                        bslab_c.at[:, pl.ds(0, SLAB_L)], sem_bc.at[k]).wait()
+                G2 = _onehot_cols(dxp, 16 * SLAB_L)
+                t1[0:BSLAB_R] = jnp.dot(bslab_y[...].astype(jnp.bfloat16), G2,
+                                        preferred_element_type=jnp.float32)
+                Gc2 = _onehot_cols(cxp, 16 * SLAB_L)
+                t1c[0:BCSLAB_R] = jnp.dot(
+                    bslab_c[...].astype(jnp.bfloat16), Gc2,
+                    preferred_element_type=jnp.float32)
+
+            # ---- luma filter + candidate planes (int32, static rolls) ----
+            T = t1[...].astype(jnp.int32)                   # [40,256]
+            raw_h = _tap6_lanes(T)
+            b_full = _clip8((raw_h + 16) >> 5)
+            hh_full = _clip8((_tap6_rows(T) + 16) >> 5)
+            jj_full = _clip8((_tap6_rows(raw_h) + 512) >> 10)
+            # align planes so lane L=16k+2+x, row r=y0+2+y reads pixel (y,x)
+            g = T
+            bp = _roll(b_full, 2, 1)
+            hp = _roll(hh_full, 2, 0)
+            jp = _roll(_roll(jj_full, 2, 0), 2, 1)
+
+            g01 = _rl(g, 1)
+            g10 = _rs(g, 1)
+            b1 = _rs(bp, 1)
+            h1 = _rl(hp, 1)
+            cands = [g, _avg(g, bp), bp, _avg(g01, bp),
+                     _avg(g, hp), _avg(bp, hp), _avg(jp, bp), _avg(bp, h1),
+                     hp, _avg(jp, hp), jp, _avg(jp, h1),
+                     _avg(g10, hp), _avg(b1, hp), _avg(jp, b1),
+                     _avg(b1, h1)]
+            case_l = vec[b, 2, :][None, :]
+            sel = cands[0]
+            for k in range(1, 16):
+                sel = jnp.where(case_l == k, cands[k], sel)
+
+            # ---- luma row-gather (one-hot MXU) + write -------------------
+            dyp = vec[b, 1, :]
+            R = _onehot_cols(dyp, LSLAB_R)                  # [40,256]
+            ext = jax.lax.dot_general(
+                R, sel.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            for k in range(16):
+                yy, xx = (k >> 2) * 4, (k & 3) * 4
+                out_y[b, yy:yy + 4, xx:xx + 4] = ext[16 * k:16 * k + 4,
+                                                     16 * k + 2:16 * k + 6]
+
+            # ---- chroma bilinear + row-gather + write --------------------
+            C1 = t1c[...].astype(jnp.int32)                 # [24,256]
+            cdx = vec[b, 5, :][None, :]
+            cdy = vec[b, 6, :][None, :]
+            A = C1
+            B = _rl(C1, 2)
+            C = _rs(C1, 1)
+            D = _rl(C, 2)
+            pc = ((8 - cdx) * (8 - cdy) * A + cdx * (8 - cdy) * B
+                  + (8 - cdx) * cdy * C + cdx * cdy * D + 32) >> 6
+            cyp = vec[b, 4, :]
+            Rc = _onehot_cols(cyp, CSLAB_R)
+            extc = jax.lax.dot_general(
+                Rc, pc.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            for k in range(16):
+                yy, xx = (k >> 2) * 2, (k & 3) * 4
+                out_c[b, yy:yy + 2, xx:xx + 4] = extc[16 * k:16 * k + 2,
+                                                      16 * k:16 * k + 4]
 
     for b in range(MC_B):
         one_mb(b)
@@ -532,10 +664,11 @@ def mc_predict(ref_y: jnp.ndarray, ref_c: jnp.ndarray, tables,
     s0 = jnp.pad(tables["scal0"], (0, pad))
     s1 = jnp.pad(tables["scal1"], (0, pad))
     s2 = jnp.pad(tables["scal2"], (0, pad))
+    s3 = jnp.pad(tables["scal3"], (0, pad))
     blkdata = jnp.pad(tables["blkdata"], (0, pad * 1024))
     blkvec = jnp.pad(tables["blkvec"], ((0, pad), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(n4 // MC_B,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # blkdata
@@ -570,5 +703,5 @@ def mc_predict(ref_y: jnp.ndarray, ref_c: jnp.ndarray, tables,
         out_shape=[jax.ShapeDtypeStruct((n4, 16, 16), jnp.int32),
                    jax.ShapeDtypeStruct((n4, 8, 16), jnp.int32)],
         interpret=interpret,
-    )(s0, s1, s2, blkdata, blkvec, ref_y, ref_c)
+    )(s0, s1, s2, s3, blkdata, blkvec, ref_y, ref_c)
     return py[:n], pc[:n]

@@ -55,6 +55,18 @@ assert gots == wants, "multihost stream decode mismatch"
 print(f"proc {pid}: stream sharding over 2 processes bit-exact",
       flush=True)
 
+# A2: 32-stream batch sharded over the processes (BASELINE config 5's
+# batch scale; per-host share = 16 streams)
+datas32 = [streams.inter_stream(width_mbs=4, height_mbs=3, n_frames=2,
+                                seed=500 + s, deblock=True)[0]
+           for s in range(32)]
+wants32 = [[o.frame.tobytes() for o in Decoder().decode_annexb(d)]
+           for d in datas32]
+gots32 = decode_streams_multihost(datas32)
+assert gots32 == wants32, "32-stream multihost decode mismatch"
+print(f"proc {pid}: 32-stream batch sharded over 2 processes "
+      f"bit-exact", flush=True)
+
 # B: batched picture pipeline over a GLOBAL mesh (dp spans hosts)
 from jax.experimental import multihost_utils
 from jax.sharding import NamedSharding, PartitionSpec as P
