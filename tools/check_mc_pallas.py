@@ -30,13 +30,22 @@ def main():
     planes_cb = rng.randint(0, 256, (R, H // 2, W // 2)).astype(np.int32)
     planes_cr = rng.randint(0, 256, (R, H // 2, W // 2)).astype(np.int32)
 
-    # MV field: mix of uniform MBs, small-spread, multi-ref, huge MVs
+    # MV field: uniform MBs at every magnitude class — in-picture, window
+    # clamped at the edge (the round-4 mode-0 bug class), fully
+    # out-of-picture — plus small-spread, multi-ref, and per-block-huge.
+    # Uniform MVs must sweep through and far past the picture edge so the
+    # mode-0 fast path's clamped-window demotion is exercised on-chip.
+    uni_mags = [0, 8, 60, W - 16, W, W + 8, 2 * W, 4 * W, 4 * H]
     mv = np.zeros((n, 4, 4, 2), np.int32)
     ref = np.zeros((n, 4, 4), np.int32)
     kind = rng.randint(0, 10, n)
     for m in range(n):
-        if kind[m] < 5:        # uniform
-            v = rng.randint(-60, 60, 2)
+        if kind[m] < 5:        # uniform (all magnitudes, signed, qpel)
+            mag = uni_mags[rng.randint(len(uni_mags))]
+            v = np.array([rng.choice([-1, 1]) * (4 * mag + rng.randint(4)),
+                          rng.choice([-1, 1])
+                          * (4 * uni_mags[rng.randint(len(uni_mags))]
+                             + rng.randint(4))])
             mv[m, :, :] = v
             ref[m, :, :] = rng.randint(0, R)
         elif kind[m] < 7:      # small spread, single ref
@@ -49,7 +58,7 @@ def main():
                     v = rng.randint(-40, 40, 2)
                     mv[m, 2*qy:2*qy+2, 2*qx:2*qx+2] = v
                     ref[m, 2*qy:2*qy+2, 2*qx:2*qx+2] = rng.randint(0, R)
-        else:                  # huge/out-of-pic MVs
+        else:                  # huge/out-of-pic MVs, per-block
             mv[m] = rng.randint(-4 * W, 4 * W, (4, 4, 2))
             ref[m, :, :] = rng.randint(0, R)
 
