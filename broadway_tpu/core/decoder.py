@@ -169,7 +169,17 @@ class Decoder:
     def flush(self) -> None:
         if self.pic is not None and self._deferred:
             self._run_deferred()
-            self._finish_picture(concealed=False)
+            if self.n_decoded_mbs >= self.pic.n_mbs:
+                self._finish_picture(concealed=False)
+        if self.pic is not None:
+            # INCOMPLETE picture pending at end of stream: the reference
+            # drops it — concealment triggers only when the NEXT access
+            # unit arrives (h264bsd_decoder.c:236-276), and at EOS
+            # DecTestBench just drains the DPB (DecTestBench.c:424), so
+            # an errored final picture never reaches the output.
+            self.pic, self.pic_header = None, None
+            if self.dpb is not None:
+                self.dpb.current = None
         self._flush_group()
         if self.dpb is not None:
             self.dpb.flush()
