@@ -135,6 +135,38 @@ def main():
     detail["stream_bytes"] = len(real)
     detail["fetched_bytes"] = nb
 
+    # ---- multi-stream lockstep batch (BASELINE config 4) ---------------
+    # Runs right after the headline: this is the evidence the driver's
+    # 420 s budget starved in round 4.  All streams come from the disk
+    # cache (generation costs ~20 s/stream at 1080p — the round-4
+    # budget killer); warm runs use cached 2-frame streams covering the
+    # I/P jit signatures, so the timed region only measures decode.
+    if not os.environ.get("BENCH_SKIP_BATCH"):
+        from broadway_tpu.parallel.streams import \
+            decode_streams_lockstep
+        batch_detail = {}
+        nfb = int(os.environ.get("BENCH_BATCH_FRAMES", "8"))
+        for B in (2, 4, 8):
+            try:
+                if _over_budget():
+                    raise TimeoutError("bench time budget exceeded")
+                datas = [realistic_bench_stream(
+                    W_MBS, H_MBS, n_frames=nfb, seed=5000 + s)
+                    for s in range(B)]
+                warm = [realistic_bench_stream(
+                    W_MBS, H_MBS, n_frames=2, seed=5000 + s)
+                    for s in range(B)]
+                decode_streams_lockstep(warm, fetch=False)
+                t0 = time.perf_counter()
+                outs = decode_streams_lockstep(datas, fetch=False)
+                dt = time.perf_counter() - t0
+                batch_detail[str(B)] = round(sum(len(o) for o in outs)
+                                             / dt, 2)
+            except Exception as e:
+                batch_detail[str(B)] = \
+                    f"FAILED: {type(e).__name__}: {e}"[:200]
+        detail["fps_batch_aggregate"] = batch_detail
+
     # ---- dense synthetic stream, end-to-end (adversarial load) ---------
     try:
         if _over_budget():
@@ -178,36 +210,6 @@ def main():
             REPS / (time.perf_counter() - t0), 2)
     except Exception as e:
         detail["fps_pipeline"] = f"FAILED: {type(e).__name__}"
-
-    # ---- multi-stream lockstep batch (BASELINE config 4) ---------------
-    if not os.environ.get("BENCH_SKIP_BATCH"):
-        from broadway_tpu.parallel.streams import \
-            decode_streams_lockstep
-        import streams as STR
-        batch_detail = {}
-        nfb = int(os.environ.get("BENCH_BATCH_FRAMES", "8"))
-        for B in (2, 4, 8):
-            try:
-                if _over_budget():
-                    raise TimeoutError("bench time budget exceeded")
-                datas = [STR.realistic_stream(
-                    width_mbs=W_MBS, height_mbs=H_MBS, n_frames=nfb,
-                    n_slices=8, seed=5000 + s)[0] for s in range(B)]
-                # warm on a 2-frame prefix (covers the I- and P-frame
-                # jit signatures + compile-cache deserialization)
-                warm = [STR.realistic_stream(
-                    width_mbs=W_MBS, height_mbs=H_MBS, n_frames=2,
-                    n_slices=8, seed=5000 + s)[0] for s in range(B)]
-                decode_streams_lockstep(warm, fetch=False)
-                t0 = time.perf_counter()
-                outs = decode_streams_lockstep(datas, fetch=False)
-                dt = time.perf_counter() - t0
-                batch_detail[str(B)] = round(sum(len(o) for o in outs)
-                                             / dt, 2)
-            except Exception as e:
-                batch_detail[str(B)] = \
-                    f"FAILED: {type(e).__name__}: {e}"[:200]
-        detail["fps_batch_aggregate"] = batch_detail
 
     print(json.dumps({
         "metric": f"frames/sec/chip {W_MBS * 16}x{H_MBS * 16} Baseline "

@@ -33,10 +33,13 @@ def realistic_bench_stream(width_mbs=120, height_mbs=68, n_frames=16,
                            n_slices=8, seed=4242):
     """Generate (and cache) the realistic-statistics bench stream:
     multi-slice, idc 0, multi-ref, mostly-skip with sparse residuals
-    (tools/streams.realistic_stream)."""
+    (tools/streams.realistic_stream).  Generation is pure-Python and
+    costs ~20 s/stream at 1080p, so every (size, frames, seed) variant
+    is disk-cached — the driver's timed bench run must never pay it."""
+    sfx = "" if seed == 4242 else f"_s{seed}"
     cache = os.path.join(
         REPO, "build",
-        f"bench_real_{width_mbs}x{height_mbs}_{n_frames}.h264")
+        f"bench_real_{width_mbs}x{height_mbs}_{n_frames}{sfx}.h264")
     if os.path.exists(cache):
         with open(cache, "rb") as f:
             return f.read()
