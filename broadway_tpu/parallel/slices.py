@@ -110,18 +110,14 @@ def _deblock_band_ghost(y, cb, cr, gy, gcb, gcr, parrs, steps_g,
             fy[:16], fcb[:8], fcr[:8])
 
 
-def decode_picture_sliced_x_impl(garrs, ref_y, ref_c, steps, steps_g,
-                                 w_mbs, hb_mbs, chroma_qp_offset,
-                                 axis: str = "sp", mc: str = "xla",
-                                 h_mbs_full: int = None,
-                                 n_bands: int = 1):
-    """shard_map body, cross-slice deblocking (idc 0): parallel band
+def _sliced_x_body(garrs, ref_y, ref_c, steps, steps_g,
+                   w_mbs, hb_mbs, chroma_qp_offset,
+                   axis: str, mc: str, h_mbs_full: int, n_bands: int):
+    """Shared idc-0 band body (inside shard_map): parallel band
     reconstruction, then the chained band deblock with ppermute halos.
-
-    garrs: ghost-augmented band arrays (leading axis sharded over
-    `axis`; (hb+1)*w MBs per band, row 0 = ghost)."""
+    garrs: THIS band's ghost-augmented arrays ((hb+1)*w MBs, row 0 =
+    ghost)."""
     band = jax.lax.axis_index(axis)
-    garrs = jax.tree_util.tree_map(lambda x: x[0], garrs)
     w = w_mbs
     # recon arrays = ghost bundle minus the ghost row
     rarrs = {k: (v if k == "whole_conceal" else v[w:])
@@ -182,6 +178,141 @@ def decode_picture_sliced_x_impl(garrs, ref_y, ref_c, steps, steps_g,
         fcb = jax.lax.dynamic_update_slice(fcb, gmcb[k], (k * Hbc - 8, 0))
         fcr = jax.lax.dynamic_update_slice(fcr, gmcr[k], (k * Hbc - 8, 0))
     return fy, fcb, fcr
+
+
+def decode_picture_sliced_x_impl(garrs, ref_y, ref_c, steps, steps_g,
+                                 w_mbs, hb_mbs, chroma_qp_offset,
+                                 axis: str = "sp", mc: str = "xla",
+                                 h_mbs_full: int = None,
+                                 n_bands: int = 1):
+    """shard_map body, idc 0, fat-host-array upload (leading axis
+    sharded over `axis`)."""
+    garrs = jax.tree_util.tree_map(lambda x: x[0], garrs)
+    return _sliced_x_body(garrs, ref_y, ref_c, steps, steps_g, w_mbs,
+                          hb_mbs, chroma_qp_offset, axis, mc,
+                          h_mbs_full, n_bands)
+
+
+def _cut_band_ghost_v2(arrs, band, w, hb_mbs):
+    """Slice one band's ghost-augmented MB rows out of a full-picture
+    v2-unpacked bundle ON DEVICE (the v2 twin of band_host_arrays_ghost
+    minus the host banding): rows [band*hb - 1, (band+1)*hb), band 0's
+    ghost row zeroed; the ghost row's deblock flags forced off so the
+    band never re-filters its up-neighbour's interior edges."""
+    nb = hb_mbs * w
+    out = {}
+    for k, v in arrs.items():
+        if k == "whole_conceal":
+            out[k] = v
+            continue
+        own = jax.lax.dynamic_slice_in_dim(v, band * nb, nb, axis=0)
+        gh = jax.lax.dynamic_slice_in_dim(
+            v, jnp.maximum(band * nb - w, 0), w, axis=0)
+        gh = jnp.where(
+            jnp.reshape(band > 0, (1,) * v.ndim), gh,
+            jnp.zeros_like(gh))
+        if k in ("enable", "FT", "FL"):
+            gh = jnp.zeros_like(gh)
+        out[k] = jnp.concatenate([gh, own], axis=0)
+    return out
+
+
+def decode_picture_sliced_x_v2_impl(buf, ref_y, ref_c, steps, steps_g,
+                                    lay, bk, w_mbs, hb_mbs,
+                                    constrained_intra,
+                                    chroma_qp_offset,
+                                    axis: str = "sp", mc: str = "xla",
+                                    h_mbs_full: int = None,
+                                    n_bands: int = 1):
+    """shard_map body, idc 0, COMPACT v2 upload: the picture's single
+    packed buffer is replicated over sp (~0.6 MB at 1080p instead of
+    the fat stacked int32 ghost bundles); each band unpacks on device
+    and cuts its own ghost-augmented rows."""
+    from ..core.packed import unpack_arrs_v2
+
+    band = jax.lax.axis_index(axis)
+    arrs = unpack_arrs_v2(buf, lay, bk, constrained_intra,
+                          chroma_qp_offset)
+    arrs = jax.lax.optimization_barrier(arrs)   # see recon_tpu note
+    garrs = _cut_band_ghost_v2(arrs, band, w_mbs, hb_mbs)
+    return _sliced_x_body(garrs, ref_y, ref_c, steps, steps_g, w_mbs,
+                          hb_mbs, chroma_qp_offset, axis, mc,
+                          h_mbs_full, n_bands)
+
+
+def make_sliced_decoder_x_v2(mesh: Mesh, w_mbs: int, h_mbs: int,
+                             n_bands: int, constrained_intra: bool,
+                             chroma_qp_offset: int, lay, bk,
+                             axis: str = "sp"):
+    """idc-0 band-sharded decoder with compact v2 upload:
+    jitted fn(buf [size] u8, ref_y, ref_c, steps, steps_g) -> planes."""
+    from jax import shard_map
+
+    hb = h_mbs // n_bands
+    fn = functools.partial(decode_picture_sliced_x_v2_impl,
+                           lay=lay, bk=bk, w_mbs=w_mbs, hb_mbs=hb,
+                           constrained_intra=constrained_intra,
+                           chroma_qp_offset=chroma_qp_offset,
+                           axis=axis, h_mbs_full=h_mbs, n_bands=n_bands,
+                           mc=RT.default_mc_backend(
+                               mesh.devices.flat[0]))
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(sharded)
+
+
+def decode_picture_sliced_v2_impl(buf, ref_y, ref_c, steps,
+                                  lay, bk, w_mbs, hb_mbs,
+                                  constrained_intra, chroma_qp_offset,
+                                  axis: str = "sp", mc: str = "xla",
+                                  h_mbs_full: int = None):
+    """shard_map body, idc 1/2 (independent bands), COMPACT v2 upload."""
+    from ..core.packed import unpack_arrs_v2
+
+    band = jax.lax.axis_index(axis)
+    arrs = unpack_arrs_v2(buf, lay, bk, constrained_intra,
+                          chroma_qp_offset)
+    arrs = jax.lax.optimization_barrier(arrs)
+    nb = hb_mbs * w_mbs
+    arrs = {k: (v if k == "whole_conceal"
+                else jax.lax.dynamic_slice_in_dim(v, band * nb, nb,
+                                                  axis=0))
+            for k, v in arrs.items()}
+    y, cb, cr = RT.decode_picture_impl(
+        arrs, ref_y, ref_c, steps,
+        w_mbs=w_mbs, h_mbs=hb_mbs, chroma_qp_offset=chroma_qp_offset,
+        mc=mc, mb0=band * nb, ref_h_mbs=h_mbs_full)
+    fy = jax.lax.all_gather(y, axis)
+    fcb = jax.lax.all_gather(cb, axis)
+    fcr = jax.lax.all_gather(cr, axis)
+    H = fy.shape[0] * fy.shape[1]
+    return (fy.reshape(H, -1), fcb.reshape(H // 2, -1),
+            fcr.reshape(H // 2, -1))
+
+
+def make_sliced_decoder_v2(mesh: Mesh, w_mbs: int, h_mbs: int,
+                           n_bands: int, constrained_intra: bool,
+                           chroma_qp_offset: int, lay, bk,
+                           axis: str = "sp"):
+    """Independent-band decoder (idc 1/2) with compact v2 upload:
+    jitted fn(buf [size] u8, ref_y, ref_c, steps) -> full planes."""
+    from jax import shard_map
+
+    hb = h_mbs // n_bands
+    fn = functools.partial(decode_picture_sliced_v2_impl,
+                           lay=lay, bk=bk, w_mbs=w_mbs, hb_mbs=hb,
+                           constrained_intra=constrained_intra,
+                           chroma_qp_offset=chroma_qp_offset,
+                           axis=axis, h_mbs_full=h_mbs,
+                           mc=RT.default_mc_backend(
+                               mesh.devices.flat[0]))
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False)
+    return jax.jit(sharded)
 
 
 def make_sliced_decoder_x(mesh: Mesh, w_mbs: int, h_mbs: int,
@@ -505,8 +636,12 @@ def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
       - otherwise (unaligned slices / errors): single-device fallback
     """
     import broadway_tpu.core.decoder as DEC
+    from ..bitstream import native as nat
+    from ..core import packed as PK
 
     decoder_fn = {}
+    use_v2 = nat.pack2_available()
+    scratch = [None]
 
     def sliced_recon(self, pic):
         sps, pps = self.sps, self.pps
@@ -515,11 +650,41 @@ def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
             return None                     # decoder falls back
         cross = any(sp.disable_deblocking_idc == 0
                     for sp in pic.slice_params)
-        key = (w, h, cross)
         steps = {k: jnp.asarray(v)
                  for k, v in RT.step_tables(w, h // n_bands).items()}
         ref_y, ref_c = RT.ref_stacks(self.dpb.buffer, sps.width,
                                      sps.height)
+        res = None
+        if use_v2:
+            lay = PK.get_packed_layout_v2(w, h)
+            if scratch[0] is None or scratch[0].lay is not lay:
+                scratch[0] = PK.PackScratchV2(lay)
+            res = PK.pack_picture_v2(pic, lay, scratch[0])
+        if res is not None:
+            # compact v2 single-buffer upload, replicated over sp
+            buf, bk = res
+            dbuf = jnp.asarray(buf)
+            key = (w, h, cross, "v2", bk)
+            if cross:
+                if key not in decoder_fn:
+                    decoder_fn[key] = make_sliced_decoder_x_v2(
+                        mesh, w, h, n_bands,
+                        pps.constrained_intra_pred,
+                        pps.chroma_qp_index_offset, lay, bk)
+                steps_g = {k: jnp.asarray(v)
+                           for k, v in RT.step_tables(
+                               w, h // n_bands + 1).items()}
+                y, cb, cr = decoder_fn[key](dbuf, ref_y, ref_c, steps,
+                                            steps_g)
+            else:
+                if key not in decoder_fn:
+                    decoder_fn[key] = make_sliced_decoder_v2(
+                        mesh, w, h, n_bands,
+                        pps.constrained_intra_pred,
+                        pps.chroma_qp_index_offset, lay, bk)
+                y, cb, cr = decoder_fn[key](dbuf, ref_y, ref_c, steps)
+            return RT.TpuFrame(y, cb, cr)
+        key = (w, h, cross)
         if cross:
             if key not in decoder_fn:
                 decoder_fn[key] = make_sliced_decoder_x(
