@@ -2,7 +2,8 @@
 """Conformance testbench CLI — mirror of the reference's
 Decoder/src/DecTestBench.c (golden YUV writer):
 
-  dectest.py [-Nn] [-Ooutfile] [-P] [-U] [-C] [-R] [-B backend] file.h264
+  dectest.py [-Nn] [-Ooutfile] [-P] [-U] [-C] [-R] [-T] [-B backend] \\
+             file.h264
 
   -Nn      stop after n pictures
   -Ofile   output file (default out_wXXXhYYY.yuv); -Onone: no output
@@ -10,6 +11,8 @@ Decoder/src/DecTestBench.c (golden YUV writer):
   -U       NAL-unit stream mode (no start codes)
   -C       write cropped output
   -R       disable output reordering
+  -T       API-call trace to dec_api.trc (DecTestBench.c:115 / the
+           H264SwDecTrace example sink, Broadway.c:755-772)
   -B       backend: cpu (default) or tpu
 """
 
@@ -26,7 +29,7 @@ def main(argv):
 
     n_max = 0
     outfile = None
-    packetize = nal_mode = crop = no_reorder = False
+    packetize = nal_mode = crop = no_reorder = trace = False
     backend = "cpu"
     fname = None
     i = 1
@@ -44,6 +47,8 @@ def main(argv):
             crop = True
         elif a == "-R":
             no_reorder = True
+        elif a == "-T":
+            trace = True
         elif a == "-B":
             i += 1
             backend = argv[i]
@@ -57,7 +62,10 @@ def main(argv):
     with open(fname, "rb") as f:
         data = f.read()
 
-    dec = H264Decoder(no_output_reordering=no_reorder, backend=backend)
+    trc = open("dec_api.trc", "w") if trace else None
+    dec = H264Decoder(
+        no_output_reordering=no_reorder, backend=backend,
+        trace=(lambda s: trc.write(s + "\n")) if trace else None)
 
     if packetize or nal_mode:
         packets = []
@@ -131,6 +139,8 @@ def main(argv):
         drain(flush=True)
     if fout:
         fout.close()
+    if trc:
+        trc.close()
     info = dec.get_info()
     if info:
         print(f"Width {info.pic_width} Height {info.pic_height}")
