@@ -167,6 +167,17 @@ def main():
                     f"FAILED: {type(e).__name__}: {e}"[:200]
         detail["fps_batch_aggregate"] = batch_detail
 
+    # ---- 4K (3840x2160) end-to-end (BASELINE config 5 resolution axis) -
+    try:
+        if _over_budget():
+            raise TimeoutError("bench time budget exceeded")
+        data4k = realistic_bench_stream(240, 135, n_frames=8, seed=7777)
+        _bench_e2e(data4k, fetch=False)   # warm / compile
+        fps4k, n4k, _ = _bench_e2e(data4k, fetch=False)
+        detail["fps_4k_e2e"] = round(fps4k, 2)
+    except Exception as e:
+        detail["fps_4k_e2e"] = f"FAILED: {type(e).__name__}: {e}"[:300]
+
     # ---- dense synthetic stream, end-to-end (adversarial load) ---------
     try:
         if _over_budget():

@@ -267,8 +267,12 @@ def decode_picture_sliced_v2_impl(buf, ref_y, ref_c, steps,
                                   lay, bk, w_mbs, hb_mbs,
                                   constrained_intra, chroma_qp_offset,
                                   axis: str = "sp", mc: str = "xla",
-                                  h_mbs_full: int = None):
-    """shard_map body, idc 1/2 (independent bands), COMPACT v2 upload."""
+                                  h_mbs_full: int = None,
+                                  gather: bool = True):
+    """shard_map body, idc 1/2 (independent bands), COMPACT v2 upload.
+    gather=False skips the reference-rebuild all_gather and returns
+    band-local planes — the measurement twin used to split per-chip
+    compute time from collective time."""
     from ..core.packed import unpack_arrs_v2
 
     band = jax.lax.axis_index(axis)
@@ -284,6 +288,8 @@ def decode_picture_sliced_v2_impl(buf, ref_y, ref_c, steps,
         arrs, ref_y, ref_c, steps,
         w_mbs=w_mbs, h_mbs=hb_mbs, chroma_qp_offset=chroma_qp_offset,
         mc=mc, mb0=band * nb, ref_h_mbs=h_mbs_full)
+    if not gather:
+        return y[None], cb[None], cr[None]
     fy = jax.lax.all_gather(y, axis)
     fcb = jax.lax.all_gather(cb, axis)
     fcr = jax.lax.all_gather(cr, axis)
@@ -295,9 +301,10 @@ def decode_picture_sliced_v2_impl(buf, ref_y, ref_c, steps,
 def make_sliced_decoder_v2(mesh: Mesh, w_mbs: int, h_mbs: int,
                            n_bands: int, constrained_intra: bool,
                            chroma_qp_offset: int, lay, bk,
-                           axis: str = "sp"):
+                           axis: str = "sp", gather: bool = True):
     """Independent-band decoder (idc 1/2) with compact v2 upload:
-    jitted fn(buf [size] u8, ref_y, ref_c, steps) -> full planes."""
+    jitted fn(buf [size] u8, ref_y, ref_c, steps) -> full planes
+    (gather=False: band-sharded planes, no collective)."""
     from jax import shard_map
 
     hb = h_mbs // n_bands
@@ -305,13 +312,14 @@ def make_sliced_decoder_v2(mesh: Mesh, w_mbs: int, h_mbs: int,
                            lay=lay, bk=bk, w_mbs=w_mbs, hb_mbs=hb,
                            constrained_intra=constrained_intra,
                            chroma_qp_offset=chroma_qp_offset,
-                           axis=axis, h_mbs_full=h_mbs,
+                           axis=axis, h_mbs_full=h_mbs, gather=gather,
                            mc=RT.default_mc_backend(
                                mesh.devices.flat[0]))
     sharded = shard_map(
         fn, mesh=mesh,
         in_specs=(P(), P(), P(), P()),
-        out_specs=(P(), P(), P()), check_vma=False)
+        out_specs=((P(), P(), P()) if gather
+                   else (P(axis), P(axis), P(axis))), check_vma=False)
     return jax.jit(sharded)
 
 

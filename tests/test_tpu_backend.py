@@ -62,6 +62,16 @@ def test_tpu_inter_wild_mv_small():
                                      deblock=True, mvd_range=700)[0])
 
 
+def test_tpu_4k_shape():
+    # 16:9 picture with ODD MB height (the 4K 240x135 grid's shape
+    # class: LS sublane rounding over an odd-height wavefront).  The
+    # full-size 4K stream is exercised by bench.py (fps_4k_e2e) and was
+    # verified bit-exact vs the oracle at 240x135 on the chip.
+    cross_check(streams.inter_stream(width_mbs=16, height_mbs=9,
+                                     n_frames=4, seed=819,
+                                     deblock=True, mvd_range=120)[0])
+
+
 def test_tpu_multislice():
     cross_check(streams.multislice_stream(width_mbs=4, height_mbs=3,
                                           seed=815, deblock_idc=0,
