@@ -72,7 +72,8 @@ class Decoder:
                  backend: str = "cpu", frontend: str = "auto",
                  parallel_slices: int = 0, recon_strategy=None,
                  prefetch_outputs: bool = False,
-                 group_frames: int = None) -> None:
+                 group_frames: int = None,
+                 async_pump: bool = None) -> None:
         # frontend: "auto" (native C++ if built), "native", "python"
         # parallel_slices: >1 = parse a picture's slices concurrently on
         # a thread pool (the TPU-host analogue of Broadway's sliceMode
@@ -111,6 +112,22 @@ class Decoder:
             group_frames = int(_os.environ.get("BW_GROUP", "0")) \
                 if backend == "tpu" else 0
         self.group_frames = group_frames
+        # async_pump: run upload + jit dispatch for each picture on a
+        # dedicated worker thread (in submission order). Measured on
+        # this rig, a host->device upload BLOCKS until all queued
+        # device compute completes, so issuing it from the feed thread
+        # serializes host parse with device decode (dense stream: 9
+        # fps). On the worker the block overlaps the feed thread's
+        # parse of the next picture — the reference's worker decode
+        # pump (Player.js:140-185) on the host->device axis. Outputs
+        # are lazy frames forced on first pixel access.
+        if async_pump is None:
+            async_pump = backend == "tpu" \
+                and not _os.environ.get("BW_NO_ASYNC") \
+                and group_frames <= 1
+        self.async_pump = async_pump
+        self._pump = None
+        self._pump_pend = []
         self._group_pend = []
         self._deferred = []
         self._executor = None
@@ -521,9 +538,30 @@ class Decoder:
         nf.cr = np.asarray(f.cr).astype(np.uint8)
         return nf
 
+    def _pump_submit(self, job) -> None:
+        """Queue an upload+dispatch closure on the single pump worker
+        (strict submission order — the donated device DPB stack chain
+        is threaded through the jobs)."""
+        if self._pump is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pump = ThreadPoolExecutor(
+                1, thread_name_prefix="bw-pump")
+        self._pump_pend = [f for f in self._pump_pend if not f.done()]
+        self._pump_pend.append(self._pump.submit(job))
+
+    def _pump_flush(self) -> None:
+        """Drain the dispatch pump: after this, no worker job touches
+        the device stacks, so the main thread may read/rebuild them."""
+        pend, self._pump_pend = self._pump_pend, []
+        for f in pend:
+            f.result()
+
     def _flush_group(self) -> None:
-        """Run the pending frame-group jit and materialize its lazy
-        frames (no-op when nothing is pending)."""
+        """Drain the dispatch pump, then run the pending frame-group
+        jit and materialize its lazy frames (no-op when nothing is
+        pending). This is the universal sync point before any main-
+        thread access to the device DPB stacks."""
+        self._pump_flush()
         pend, self._group_pend = self._group_pend, []
         if not pend:
             return
@@ -679,13 +717,35 @@ class Decoder:
                     if len(self._group_pend) >= self.group_frames:
                         self._flush_group()
                     return fr
+                ci = pps.constrained_intra_pred
+                co = pps.chroma_qp_index_offset
+                if self.async_pump:
+                    # upload + dispatch on the pump worker: the H2D
+                    # block rides the worker while this (feed) thread
+                    # parses the next picture's slices
+                    fr = RT.LazyTpuFrame(self._pump_flush)
+                    steps = self._steps
+
+                    def job(buf=buf, bk=bk, slot=slot, lay=lay,
+                            steps=steps, ci=ci, co=co, be=be, wf=wf,
+                            fr=fr):
+                        y, cb, cr, yuv, self._stack_y, self._stack_c = \
+                            RT.decode_picture_packed2(
+                                jax.device_put(buf), self._stack_y,
+                                self._stack_c, slot, steps, lay=lay,
+                                bk=bk, constrained_intra=ci,
+                                chroma_qp_offset=co, mc=be, wf=wf)
+                        fr._set(y, cb, cr, yuv)
+
+                    self._pump_submit(job)
+                    return fr
                 dbuf = jax.device_put(buf)
                 y, cb, cr, yuv, self._stack_y, self._stack_c = \
                     RT.decode_picture_packed2(
                         dbuf, self._stack_y, self._stack_c, slot,
                         self._steps, lay=lay, bk=bk,
-                        constrained_intra=pps.constrained_intra_pred,
-                        chroma_qp_offset=pps.chroma_qp_index_offset,
+                        constrained_intra=ci,
+                        chroma_qp_offset=co,
                         mc=be, wf=wf)
                 return RT.TpuFrame(y, cb, cr, pad=False, yuv_u8=yuv)
 
