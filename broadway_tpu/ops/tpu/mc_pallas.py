@@ -151,14 +151,12 @@ def mc_tables(mv: np.ndarray, ref_blk: np.ndarray, width: int, height: int):
     # offsets, which is only valid when every clipped block origin sits on
     # the regular +4/+2 grid.  np.clip saturation at picture edges (the
     # FillBlock case, h264bsd_reconstruct.c:2222) collapses origins onto
-    # the bound, so clamped MBs must demote to mode 1 (per-block origins).
-    gxl = (np.arange(16, dtype=np.int32) % 4) * 4
-    gyl = (np.arange(16, dtype=np.int32) // 4) * 4
-    on_grid = ((x0f == x0f[:, :1] + gxl[None, :]).all(1)
-               & (y0f == y0f[:, :1] + gyl[None, :]).all(1)
-               & (cx0f == cx0f[:, :1] + (gxl >> 1)[None, :]).all(1)
-               & (cy0f == cy0f[:, :1] + (gyl >> 1)[None, :]).all(1))
-    uniform = uniform & on_grid
+    # the bound, so any clipped MB must demote to mode 1 (per-block
+    # origins); an unclipped uniform MB is automatically on the grid.
+    unclipped = ((x0 == xi - 2 + PAD) & (y0 == yi - 2 + PAD)
+                 & (cx0 == cxi + PAD)
+                 & (cy0 == cyi + PAD)).reshape(n, 16).all(1)
+    uniform = uniform & unclipped
     single_ref = (reff == reff[:, :1]).all(1)
     sy = y0f.max(1) - y0f.min(1)
     sx = x0f.max(1) - x0f.min(1)
@@ -280,15 +278,13 @@ def mc_tables_dev(mv, ref_blk, width: int, height: int,
 
     uniform = ((mvxf == mvxf[:, :1]).all(1) & (mvyf == mvyf[:, :1]).all(1)
                & (reff == reff[:, :1]).all(1))
-    # clamped-window demotion — see mc_tables: mode 0 requires all clipped
-    # origins on the exact +4/+2 grid relative to block 0
-    gxl = (jnp.arange(16, dtype=jnp.int32) % 4) * 4
-    gyl = (jnp.arange(16, dtype=jnp.int32) // 4) * 4
-    on_grid = ((x0f == x0f[:, :1] + gxl[None, :]).all(1)
-               & (y0f == y0f[:, :1] + gyl[None, :]).all(1)
-               & (cx0f == cx0f[:, :1] + (gxl >> 1)[None, :]).all(1)
-               & (cy0f == cy0f[:, :1] + (gyl >> 1)[None, :]).all(1))
-    uniform = uniform & on_grid
+    # clamped-window demotion — see mc_tables: mode 0 additionally
+    # requires that NO window clip saturated (an unclipped uniform MB is
+    # automatically on the +4/+2 grid; any saturation breaks it)
+    unclipped = ((x0 == xi - 2 + PAD) & (y0 == yi - 2 + PAD)
+                 & (cx0 == cxi + PAD)
+                 & (cy0 == cyi + PAD)).reshape(N, 16).all(1)
+    uniform = uniform & unclipped
     single_ref = (reff == reff[:, :1]).all(1)
     fits = (single_ref
             & (y0f.max(1) - y0f.min(1) <= _SPREAD_Y)

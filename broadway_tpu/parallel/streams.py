@@ -56,6 +56,11 @@ decode_pictures_batch = functools.partial(
         _batched_impl)
 
 
+# process-wide working device-batch chunk width per (w, h, B) — see
+# the compile-failure fallback in decode_streams_lockstep
+_SUB_WIDTH: Dict[tuple, int] = {}
+
+
 class _LockstepSync:
     """Dynamic-membership round coordinator for lockstep decode.
 
@@ -179,29 +184,51 @@ def decode_streams_lockstep(datas, mc: str = None,
             state["sc"] = jnp.zeros((B, Rmax, hc, wc), jnp.int32)
             state["steps"] = {k: jnp.asarray(v) for k, v in
                               RT.step_tables(w, h).items()}
-        if packed:
-            sp = [staging[i] for i in packed]
+        def run_packed(sub):
+            sp = [staging[i] for i in sub]
             BK = tuple(max(s[2][j] for s in sp) for j in range(3))
             bufs = np.stack([PK.expand_buf_v2(s[1], lay, s[2], BK)
                              for s in sp])
             slots = jnp.asarray([s[3] for s in sp], jnp.int32)
-            full = len(packed) == B
-            ry = state["sy"] if full else state["sy"][jnp.asarray(packed)]
-            rc = state["sc"] if full else state["sc"][jnp.asarray(packed)]
+            full = len(sub) == B
+            ry = state["sy"] if full else state["sy"][jnp.asarray(sub)]
+            rc = state["sc"] if full else state["sc"][jnp.asarray(sub)]
             y, cb, cr, yuv, ry, rc = RT.decode_pictures_packed_batch(
                 jax.device_put(bufs), ry, rc, slots, state["steps"],
                 lay=lay, bk=BK, constrained_intra=sp[0][7],
                 chroma_qp_offset=sp[0][8], mc=mc, wf=mc,
-                batch=len(packed))
+                batch=len(sub))
             if full:
                 state["sy"], state["sc"] = ry, rc
             else:
-                ix = jnp.asarray(packed)
+                ix = jnp.asarray(sub)
                 state["sy"] = state["sy"].at[ix].set(ry)
                 state["sc"] = state["sc"].at[ix].set(rc)
-            for b, i in enumerate(packed):
+            for b, i in enumerate(sub):
                 results[i] = RT.TpuFrame(y[b], cb[b], cr[b],
                                          pad=False, yuv_u8=yuv[b])
+
+        if packed:
+            # Wide batches can exceed the XLA compile service's memory
+            # (observed: the B=8 1080p program crashes the compile
+            # helper on this rig while B<=4 compiles fine), so the
+            # device batch is chunked; on a failed compile the chunk
+            # width halves, and the working width is remembered
+            # process-wide so later calls skip the doomed compile.
+            import os as _os
+            skey = (w, h, B)
+            sub = _SUB_WIDTH.get(skey) or int(
+                _os.environ.get("BW_LOCKSTEP_SUB", "0")) or len(packed)
+            while True:
+                try:
+                    for c0 in range(0, len(packed), sub):
+                        run_packed(packed[c0:c0 + sub])
+                    _SUB_WIDTH[skey] = sub
+                    break
+                except jax.errors.JaxRuntimeError:
+                    if sub <= 1:
+                        raise
+                    sub = (sub + 1) // 2
         for i in raw:
             # per-stream fallback: pictures the v2 packer declines
             # (too many slices / over-dense) run through the plain
