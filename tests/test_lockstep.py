@@ -97,8 +97,36 @@ print("LOCKSTEP-FALLBACK-OK")
 """
 
 
+_SCRIPT_CHUNKED = r"""
+import os, sys
+sys.path.insert(0, %(repo)r)
+sys.path.insert(0, %(repo)r + "/tools")
+os.environ["BW_LOCKSTEP_SUB"] = "2"   # device batch chunked at 2
+import streams
+from broadway_tpu.core.decoder import Decoder
+from broadway_tpu.parallel.streams import decode_streams_lockstep
+
+# 3 streams with a 2-wide device chunk: rounds run as a full=False
+# 2-chunk (ref-stack gather/scatter) + a 1-chunk — the compile-
+# failure fallback's steady-state shape
+datas = [streams.inter_stream(width_mbs=4, height_mbs=3, n_frames=3,
+                              seed=s, deblock=True, mvd_range=30)[0]
+         for s in (41, 42, 43)]
+wants = [[o.frame.tobytes() for o in Decoder().decode_annexb(d)]
+         for d in datas]
+gots = decode_streams_lockstep(datas, parallel_slices=2)
+assert gots == wants, [i for i, (g, w) in enumerate(zip(gots, wants))
+                       if g != w]
+print("LOCKSTEP-CHUNKED-OK")
+"""
+
+
 def test_lockstep_batched_decode():
     _run(_SCRIPT, "LOCKSTEP-OK")
+
+
+def test_lockstep_chunked_device_batch():
+    _run(_SCRIPT_CHUNKED, "LOCKSTEP-CHUNKED-OK")
 
 
 def test_lockstep_pack_decline_fallback():
