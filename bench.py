@@ -217,20 +217,25 @@ def main():
         # dense path is device-bound — every MB carries residuals, so
         # the packed-buffer scatter + residual stage outweigh the
         # host's parse; the async dispatch pump overlaps the rest.
-        import broadway_tpu.core.decoder as DECm
-        t0 = time.perf_counter()
-        npic = []
-        DECm.Decoder(backend="cpu", recon_strategy=lambda dec, pic: (
-            npic.append(1), DECm.SKIP_RECON)[1]).decode_annexb(dense)
-        detail["dense_parse_ms_per_frame"] = round(
-            (time.perf_counter() - t0) / len(npic) * 1e3, 1)
-        # remainder after the (overlapped) host parse: device graph +
-        # upload bubbles; measured separately at ~43 ms/frame device
-        # (unpack scatter + residuals over all-coded MBs) vs ~25 ms on
-        # the realistic stream — the dense path is device-bound
-        detail["dense_e2e_minus_parse_ms"] = round(
-            1e3 / fps_dense - detail["dense_parse_ms_per_frame"], 1) \
-            if fps_dense else None
+        # Own try: a breakdown failure must not clobber the measured
+        # fps_dense_e2e above.
+        try:
+            import broadway_tpu.core.decoder as DECm
+            t0 = time.perf_counter()
+            npic = []
+            DECm.Decoder(backend="cpu", recon_strategy=lambda dec, pic: (
+                npic.append(1), DECm.SKIP_RECON)[1]).decode_annexb(dense)
+            detail["dense_parse_ms_per_frame"] = round(
+                (time.perf_counter() - t0) / len(npic) * 1e3, 1)
+            # remainder after the (overlapped) host parse: device
+            # graph + upload bubbles; measured separately at ~29-43
+            # ms/frame device vs ~25 ms on the realistic stream
+            detail["dense_e2e_minus_parse_ms"] = round(
+                1e3 / fps_dense
+                - detail["dense_parse_ms_per_frame"], 1)
+        except Exception as e:
+            detail["dense_parse_ms_per_frame"] = \
+                f"FAILED: {type(e).__name__}"
     except Exception as e:
         detail["fps_dense_e2e"] = f"FAILED: {type(e).__name__}: {e}"[:300]
 

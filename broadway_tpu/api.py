@@ -246,5 +246,9 @@ class H264Decoder:
             sar_height=vui.sar_height if vui else 0)
 
     def release(self) -> None:
+        if self._core is not None:
+            close = getattr(self._core, "close", None)
+            if close is not None:
+                close()
         self._core = None
         self._pending = []

@@ -546,7 +546,16 @@ class Decoder:
             from concurrent.futures import ThreadPoolExecutor
             self._pump = ThreadPoolExecutor(
                 1, thread_name_prefix="bw-pump")
-        self._pump_pend = [f for f in self._pump_pend if not f.done()]
+        # prune completed jobs, PROPAGATING any stored exception — a
+        # silently dropped failure would leave later frames decoding
+        # against stale reference stacks
+        keep = []
+        for f in self._pump_pend:
+            if f.done():
+                f.result()
+            else:
+                keep.append(f)
+        self._pump_pend = keep
         self._pump_pend.append(self._pump.submit(job))
 
     def _pump_flush(self) -> None:
@@ -555,6 +564,19 @@ class Decoder:
         pend, self._pump_pend = self._pump_pend, []
         for f in pend:
             f.result()
+
+    def close(self) -> None:
+        """Release worker threads (pump + slice pool). The decoder
+        remains unusable for further decode calls after this."""
+        try:
+            self._pump_flush()
+        finally:
+            if self._pump is not None:
+                self._pump.shutdown(wait=True)
+                self._pump = None
+            if self._executor is not None:
+                self._executor.shutdown(wait=True)
+                self._executor = None
 
     def _flush_group(self) -> None:
         """Drain the dispatch pump, then run the pending frame-group

@@ -212,22 +212,29 @@ class TpuFrame:
 
 
 class LazyTpuFrame:
-    """Placeholder frame for the frame-group fast path: planes
-    materialize when the decoder flushes the pending picture group
-    (decode_pictures_packed_group). Any pixel access forces the
-    flush, so consumers never observe the deferral."""
+    """Placeholder frame for the frame-group fast path and the async
+    dispatch pump: planes materialize when the pending group/pump job
+    runs. Any pixel access forces it, so consumers never observe the
+    deferral. _set may run on the pump worker while the feed thread
+    calls start_fetch, so the pair is lock-guarded (an unguarded
+    interleaving would silently drop the D2H prefetch overlap)."""
 
-    __slots__ = ("_force", "_planes", "_want_fetch")
+    __slots__ = ("_force", "_planes", "_want_fetch", "_lock")
 
     def __init__(self, force) -> None:
+        import threading
         self._force = force
         self._planes = None
         self._want_fetch = False
+        self._lock = threading.Lock()
 
     def _set(self, y, cb, cr, yuv) -> None:
-        self._planes = TpuFrame(y, cb, cr, pad=False, yuv_u8=yuv)
-        if self._want_fetch:
-            self._planes.start_fetch()
+        fr = TpuFrame(y, cb, cr, pad=False, yuv_u8=yuv)
+        with self._lock:
+            self._planes = fr
+            want = self._want_fetch
+        if want:
+            fr.start_fetch()
 
     def _ensure(self) -> "TpuFrame":
         if self._planes is None:
@@ -251,12 +258,15 @@ class LazyTpuFrame:
         return self._ensure().yuv_u8
 
     def start_fetch(self) -> None:
-        # deferred until the group flush assigns planes (forcing here
-        # would collapse every group to size 1 under prefetch)
-        if self._planes is None:
-            self._want_fetch = True
-        else:
-            self._planes.start_fetch()
+        # deferred until the group flush / pump job assigns planes
+        # (forcing here would collapse every group to size 1 under
+        # prefetch)
+        with self._lock:
+            fr = self._planes
+            if fr is None:
+                self._want_fetch = True
+        if fr is not None:
+            fr.start_fetch()
 
     def tobytes(self) -> bytes:
         return self._ensure().tobytes()

@@ -98,10 +98,12 @@ def decode_streams_multihost(datas: List[bytes],
         sp_mesh = Mesh(np.array(local[:sp_bands]), ("sp",))
 
     mine = {}
+    sliced_cache = {}    # share jitted programs across local streams
     for i in range(pid, len(datas), np_):
         if sp_mesh is not None:
             from .slices import decode_stream_sliced
-            mine[i] = decode_stream_sliced(datas[i], sp_mesh, sp_bands)
+            mine[i] = decode_stream_sliced(datas[i], sp_mesh, sp_bands,
+                                           decoder_cache=sliced_cache)
         else:
             d = Decoder(backend=backend)
             mine[i] = [o.frame.tobytes()

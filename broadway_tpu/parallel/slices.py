@@ -632,7 +632,8 @@ def _bands_aligned(pic: PictureData, n_bands: int) -> bool:
 
 
 def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
-                         backend_decoder=None) -> List[bytes]:
+                         backend_decoder=None,
+                         decoder_cache: dict = None) -> List[bytes]:
     """End-to-end band-sharded decode of an Annex-B stream on `mesh`.
     Returns display-order YUV bytes. Host front-end parses; the pixel
     pipeline runs sharded via the decoder's recon_strategy hook; DPB
@@ -642,12 +643,14 @@ def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
       - slices band-aligned, idc in {1,2}: independent band decode
       - slices band-aligned, idc 0: chained deblock with ppermute halos
       - otherwise (unaligned slices / errors): single-device fallback
-    """
+
+    decoder_cache: optional dict shared across calls so repeated
+    same-geometry streams reuse the jitted sharded programs."""
     import broadway_tpu.core.decoder as DEC
     from ..bitstream import native as nat
     from ..core import packed as PK
 
-    decoder_fn = {}
+    decoder_fn = decoder_cache if decoder_cache is not None else {}
     use_v2 = nat.pack2_available()
     scratch = [None]
 
@@ -672,7 +675,10 @@ def decode_stream_sliced(data: bytes, mesh: Mesh, n_bands: int,
             # compact v2 single-buffer upload, replicated over sp
             buf, bk = res
             dbuf = jnp.asarray(buf)
-            key = (w, h, cross, "v2", bk)
+            # ci/cqo are baked into the compiled fn as constants — a
+            # mid-stream PPS switch must not reuse a stale program
+            key = (w, h, cross, "v2", bk, pps.constrained_intra_pred,
+                   pps.chroma_qp_index_offset)
             if cross:
                 if key not in decoder_fn:
                     decoder_fn[key] = make_sliced_decoder_x_v2(

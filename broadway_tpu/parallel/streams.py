@@ -217,16 +217,24 @@ def decode_streams_lockstep(datas, mc: str = None,
             # process-wide so later calls skip the doomed compile.
             import os as _os
             skey = (w, h, B)
-            sub = _SUB_WIDTH.get(skey) or int(
+            cap = _SUB_WIDTH.get(skey) or int(
                 _os.environ.get("BW_LOCKSTEP_SUB", "0")) or len(packed)
+            sub = min(cap, len(packed))
+            first = sub
             while True:
                 try:
                     for c0 in range(0, len(packed), sub):
                         run_packed(packed[c0:c0 + sub])
-                    _SUB_WIDTH[skey] = sub
+                    if sub < first:
+                        # remember the cap ONLY when a compile failure
+                        # forced the reduction — a transiently small
+                        # packed list must not become a permanent cap
+                        _SUB_WIDTH[skey] = sub
                     break
                 except jax.errors.JaxRuntimeError:
-                    if sub <= 1:
+                    if sub <= 1 or state["sy"].is_deleted():
+                        # a runtime (post-donation) failure cannot be
+                        # retried — the ref stacks were consumed
                         raise
                     sub = (sub + 1) // 2
         for i in raw:
