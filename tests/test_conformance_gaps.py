@@ -43,6 +43,25 @@ def test_redundant_slice_fallback_when_primary_lost(tmp_path,
     assert _decode_all(data) == ref
 
 
+def test_incomplete_final_picture_dropped_at_eos(tmp_path,
+                                                 oracle_dectest):
+    """A stream whose LAST picture errors (bytes chopped out of its
+    slice): the reference drops the incomplete picture at end of
+    stream — concealment triggers only when a next AU arrives
+    (h264bsd_decoder.c:236-276), and DecTestBench just drains the DPB
+    at EOS. Output must be byte-identical (round-5 fix: we used to
+    conceal and emit one extra frame)."""
+    data, _ = streams.inter_stream(width_mbs=4, height_mbs=3,
+                                   n_frames=4, seed=913, deblock=True)
+    cut = data[:-60]               # truncate inside the last slice
+    sp = tmp_path / "eos.h264"
+    sp.write_bytes(cut)
+    ref, _ = run_oracle(oracle_dectest, str(sp), str(tmp_path / "r.yuv"))
+    assert _decode_all(cut) == ref
+    # the parallel-slice (deferred parse) path must agree
+    assert _decode_all(cut, parallel_slices=2) == ref
+
+
 def test_streaming_split_buffers():
     """Feeding the stream in odd-sized chunks (splitting NALs and even
     start codes) through streaming mode reproduces the whole-buffer
