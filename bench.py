@@ -129,29 +129,9 @@ def main():
     real = realistic_bench_stream(W_MBS, H_MBS, n_frames=N_FRAMES)
     _bench_e2e(real, fetch=False)         # warm / compile
     fps_e2e = max(_bench_e2e(real, fetch=False)[0] for _ in range(2))
-    real6 = realistic_bench_stream(W_MBS, H_MBS, n_frames=6)
-    fps_fetch, n, nb = _bench_e2e(real6, fetch=True)
     detail["fps_e2e_device"] = round(fps_e2e, 2)
-    detail["fps_e2e_fetch"] = round(fps_fetch, 2)
-    try:
-        link = _measure_d2h_mbps()
-        detail["link_d2h_mbps"] = round(link, 1)
-        # delivery bounds: on this rig D2H transfers serialize with
-        # device compute on the one tunnel stream (measured: a D2H or
-        # H2D issued mid-decode waits for queued compute), so the
-        # reachable bound is the SERIAL one, not min(link, decode)
-        fb = W_MBS * 16 * H_MBS * 16 * 3 / 2
-        link_fps = link * 1e6 / fb
-        detail["fetch_bound_overlap_fps"] = round(
-            min(link_fps, fps_e2e), 2)
-        detail["fetch_bound_serial_fps"] = round(
-            1.0 / (1.0 / link_fps + 1.0 / fps_e2e), 2)
-    except Exception as e:
-        detail["link_d2h_mbps"] = f"FAILED: {type(e).__name__}"
     detail["frames"] = N_FRAMES
     detail["stream_bytes"] = len(real)
-    detail["fetch_frames"] = n
-    detail["fetched_bytes"] = nb
 
     # ---- multi-stream lockstep batch (BASELINE config 4) ---------------
     # Runs right after the headline: this is the evidence the driver's
@@ -204,6 +184,39 @@ def main():
     except Exception as e:
         detail["fps_4k_e2e"] = f"FAILED: {type(e).__name__}: {e}"[:300]
 
+    # ---- pipeline-only (kernel steady state, dense tensors) ------------
+    try:
+        if _over_budget():
+            raise TimeoutError("bench time budget exceeded")
+        mc = RT.default_mc_backend()
+        pics = parse_pictures(bench_stream(W_MBS, H_MBS, n_frames=3),
+                              max_pics=2)
+        arrs, w, h, cqo, n_slots = pics[-1]
+        arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
+        steps = {k: jnp.asarray(v) for k, v in RT.step_tables(w, h).items()}
+        H, W = h * 16, w * 16
+        hy, wy = K_mcp.luma_ext_dims(W, H)
+        hc, wc = K_mcp.chroma_ext_dims(W, H)
+        rng = np.random.RandomState(0)
+        ref_y = jnp.asarray(rng.randint(0, 256, (n_slots, hy, wy)),
+                            jnp.int32)
+        ref_c = jnp.asarray(rng.randint(0, 256, (n_slots, hc, wc)),
+                            jnp.int32)
+        out = RT.decode_picture(arrs, ref_y, ref_c, steps, w_mbs=w,
+                                h_mbs=h, chroma_qp_offset=cqo,
+                                mc=mc, wf=mc)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            out = RT.decode_picture(arrs, ref_y, ref_c, steps, w_mbs=w,
+                                    h_mbs=h, chroma_qp_offset=cqo,
+                                    mc=mc, wf=mc)
+        jax.block_until_ready(out)
+        detail["fps_pipeline"] = round(
+            REPS / (time.perf_counter() - t0), 2)
+    except Exception as e:
+        detail["fps_pipeline"] = f"FAILED: {type(e).__name__}"
+
     # ---- dense synthetic stream, end-to-end (adversarial load) ---------
     try:
         if _over_budget():
@@ -239,38 +252,31 @@ def main():
     except Exception as e:
         detail["fps_dense_e2e"] = f"FAILED: {type(e).__name__}: {e}"[:300]
 
-    # ---- pipeline-only (kernel steady state, dense tensors) ------------
+    # ---- host YUV delivery (link-bound; LAST — when the shared
+    # tunnel is degraded, a fetch pass costs minutes and must not
+    # starve the decode evidence above) ----------------------------------
     try:
         if _over_budget():
             raise TimeoutError("bench time budget exceeded")
-        mc = RT.default_mc_backend()
-        pics = parse_pictures(bench_stream(W_MBS, H_MBS, n_frames=3),
-                              max_pics=2)
-        arrs, w, h, cqo, n_slots = pics[-1]
-        arrs = {k: jnp.asarray(v) for k, v in arrs.items()}
-        steps = {k: jnp.asarray(v) for k, v in RT.step_tables(w, h).items()}
-        H, W = h * 16, w * 16
-        hy, wy = K_mcp.luma_ext_dims(W, H)
-        hc, wc = K_mcp.chroma_ext_dims(W, H)
-        rng = np.random.RandomState(0)
-        ref_y = jnp.asarray(rng.randint(0, 256, (n_slots, hy, wy)),
-                            jnp.int32)
-        ref_c = jnp.asarray(rng.randint(0, 256, (n_slots, hc, wc)),
-                            jnp.int32)
-        out = RT.decode_picture(arrs, ref_y, ref_c, steps, w_mbs=w,
-                                h_mbs=h, chroma_qp_offset=cqo,
-                                mc=mc, wf=mc)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            out = RT.decode_picture(arrs, ref_y, ref_c, steps, w_mbs=w,
-                                    h_mbs=h, chroma_qp_offset=cqo,
-                                    mc=mc, wf=mc)
-        jax.block_until_ready(out)
-        detail["fps_pipeline"] = round(
-            REPS / (time.perf_counter() - t0), 2)
+        real6 = realistic_bench_stream(W_MBS, H_MBS, n_frames=6)
+        fps_fetch, n, nb = _bench_e2e(real6, fetch=True)
+        detail["fps_e2e_fetch"] = round(fps_fetch, 2)
+        detail["fetch_frames"] = n
+        detail["fetched_bytes"] = nb
+        link = _measure_d2h_mbps()
+        detail["link_d2h_mbps"] = round(link, 1)
+        # delivery bounds: the pump issues each frame's D2H right
+        # after its compute, so delivery tracks min(link, decode)
+        # (measured ~91% of that bound in a controlled run); the
+        # serial bound is the floor when the tunnel fully serializes
+        fb = W_MBS * 16 * H_MBS * 16 * 3 / 2
+        link_fps = link * 1e6 / fb
+        detail["fetch_bound_overlap_fps"] = round(
+            min(link_fps, fps_e2e), 2)
+        detail["fetch_bound_serial_fps"] = round(
+            1.0 / (1.0 / link_fps + 1.0 / fps_e2e), 2)
     except Exception as e:
-        detail["fps_pipeline"] = f"FAILED: {type(e).__name__}"
+        detail["fps_e2e_fetch"] = f"FAILED: {type(e).__name__}: {e}"[:200]
 
     print(json.dumps({
         "metric": f"frames/sec/chip {W_MBS * 16}x{H_MBS * 16} Baseline "
