@@ -16,11 +16,12 @@ Details additionally report:
   - fps_e2e_fetch: same run but every frame's packed YUV delivered to
     host bytes (the DecTestBench contract), with the device->host copy
     of frame N overlapped with the decode of N+1 (Decoder
-    prefetch_outputs; the reference's transferable frame post-back,
-    Player/Decoder.js:856-872). The measured D2H link budget is
-    printed beside it — on this rig the tunnel moves ~16 MB/s
-    pipelined, hard-capping 1080p host delivery near 5 fps regardless
-    of decode speed.
+    prefetch_outputs + the async pump; the reference's transferable
+    frame post-back, Player/Decoder.js:856-872). The measured D2H
+    link budget is printed beside it — this rig's shared tunnel moves
+    ~10-45 MB/s depending on load, capping 1080p host delivery at
+    ~3-14 fps regardless of decode speed; both the overlap and serial
+    bounds are recorded so the number is interpretable per-run.
   - fps_pipeline: steady-state jitted pixel pipeline alone
     (pre-parsed dense-stream tensors resident on device).
   - dense_e2e: end-to-end on the dense synthetic stream (adversarial
