@@ -493,7 +493,7 @@ def _bcast8(col):
     return jnp.broadcast_to(col, (col.shape[0], 8))
 
 
-def _intra_kernel(M16, M8, MP16, W4, RND, SHF, Y, C, RY, RC, P,
+def _intra_kernel(flags, M16, M8, MP16, W4, RND, SHF, Y, C, RY, RC, P,
                   Yo, Co, yr, cr_, ry, rc, pp, sems):
     _t16 = lambda x: _tmul(x, M16[...])
     _t8 = lambda x: _tmul(x, M8[...])
@@ -501,16 +501,44 @@ def _intra_kernel(M16, M8, MP16, W4, RND, SHF, Y, C, RY, RC, P,
     sl = d % 4
     LS = yr.shape[1]
 
+    # flags[d] != 0 <=> some MB on diagonal d is intra (I4x4 or I16x16).
+    # P-frame diagonals are usually intra-free; their rows only ride the
+    # VMEM ring as neighbour context (and pass through unchanged), so
+    # the whole prediction body — and its RY/RC/P loads — is skipped.
+    # Selection semantics make this exact: newY/newC only differ from
+    # own0/cown at intra MBs.
+    f = flags[d]
     cps = [pltpu.make_async_copy(Y.at[d], yr.at[sl], sems.at[0]),
-           pltpu.make_async_copy(C.at[d], cr_.at[sl], sems.at[1]),
-           pltpu.make_async_copy(RY.at[d], ry, sems.at[2]),
-           pltpu.make_async_copy(RC.at[d], rc, sems.at[3]),
-           pltpu.make_async_copy(P.at[d], pp, sems.at[4])]
+           pltpu.make_async_copy(C.at[d], cr_.at[sl], sems.at[1])]
+    rcps = [pltpu.make_async_copy(RY.at[d], ry, sems.at[2]),
+            pltpu.make_async_copy(RC.at[d], rc, sems.at[3]),
+            pltpu.make_async_copy(P.at[d], pp, sems.at[4])]
     for cp in cps:
         cp.start()
+
+    @pl.when(f != 0)
+    def _():
+        for cp in rcps:
+            cp.start()
+
     for cp in cps:
         cp.wait()
 
+    @pl.when(f != 0)
+    def _compute():
+        for cp in rcps:
+            cp.wait()
+        _intra_compute(M16, M8, MP16, W4, RND, SHF,
+                       yr, cr_, ry, rc, pp, d, sl, LS, _t16, _t8)
+
+    o_y = pltpu.make_async_copy(yr.at[sl], Yo.at[d], sems.at[5])
+    o_c = pltpu.make_async_copy(cr_.at[sl], Co.at[d], sems.at[6])
+    o_y.start(); o_c.start()
+    o_y.wait(); o_c.wait()
+
+
+def _intra_compute(M16, M8, MP16, W4, RND, SHF, yr, cr_, ry, rc, pp,
+                   d, sl, LS, _t16, _t8):
     p = pp[...]
     av_a = p[:, 0:1]
     av_b = p[:, 1:2]
@@ -717,19 +745,21 @@ def _intra_kernel(M16, M8, MP16, W4, RND, SHF, Y, C, RY, RC, P,
 
     yr[sl] = newY
     cr_[sl] = newC
-    o_y = pltpu.make_async_copy(yr.at[sl], Yo.at[d], sems.at[5])
-    o_c = pltpu.make_async_copy(cr_.at[sl], Co.at[d], sems.at[6])
-    o_y.start(); o_c.start()
-    o_y.wait(); o_c.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def intra_wavefront(Y, C, RY, RC, P, interpret: bool = False):
     """Y [S,LS,256], C [S,LS,128], RY [S,LS,256], RC [S,LS,128],
-    P [S,LS,128] -> intra-reconstructed (Y', C')."""
+    P [S,LS,128] -> intra-reconstructed (Y', C').
+
+    A per-diagonal scalar flag (any intra MB on the row) is prefetched
+    so the kernel skips the whole prediction body on intra-free
+    diagonals — the common case in P frames."""
     S, LS = Y.shape[0], Y.shape[1]
+    # flags[d] = 1 iff any MB on diagonal d is intra (P lane 8)
+    flags = jnp.max(P[:, :, 8], axis=1).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(S,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6
         + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
@@ -753,7 +783,8 @@ def intra_wavefront(Y, C, RY, RC, P, interpret: bool = False):
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(jnp.asarray(_MT16, jnp.bfloat16), jnp.asarray(_MT8, jnp.bfloat16),
+    )(flags,
+      jnp.asarray(_MT16, jnp.bfloat16), jnp.asarray(_MT8, jnp.bfloat16),
       jnp.asarray(_MP16, jnp.bfloat16), jnp.asarray(_W4, jnp.bfloat16),
       jnp.asarray(_RND4), jnp.asarray(_SHF4), Y, C, RY, RC, P)
 
