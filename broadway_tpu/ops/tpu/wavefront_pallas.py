@@ -494,11 +494,10 @@ def _bcast8(col):
 
 
 def _intra_kernel(flags, M16, M8, MP16, W4, RND, SHF, Y, C, RY, RC, P,
-                  Yo, Co, yr, cr_, ry, rc, pp, sems):
+                  Yo, Co, yr, cr_, ry, rc, pp, sems, osems):
     _t16 = lambda x: _tmul(x, M16[...])
     _t8 = lambda x: _tmul(x, M8[...])
     d = pl.program_id(0)
-    sl = d % 4
     LS = yr.shape[1]
 
     # flags[d] != 0 <=> some MB on diagonal d is intra (I4x4 or I16x16).
@@ -507,39 +506,88 @@ def _intra_kernel(flags, M16, M8, MP16, W4, RND, SHF, Y, C, RY, RC, P,
     # the whole prediction body — and its RY/RC/P loads — is skipped.
     # Selection semantics make this exact: newY/newC only differ from
     # own0/cown at intra MBs.
-    f = flags[d]
-    cps = [pltpu.make_async_copy(Y.at[d], yr.at[sl], sems.at[0]),
-           pltpu.make_async_copy(C.at[d], cr_.at[sl], sems.at[1])]
-    rcps = [pltpu.make_async_copy(RY.at[d], ry, sems.at[2]),
-            pltpu.make_async_copy(RC.at[d], rc, sems.at[3]),
-            pltpu.make_async_copy(P.at[d], pp, sems.at[4])]
-    for cp in cps:
-        cp.start()
+    #
+    # Software pipeline (mirrors _db_kernel): row d's loads were issued
+    # at step d-1 into the 8-deep ring; row d+1's are issued now; the
+    # out-DMA of row d starts after compute and is waited only when its
+    # ring slot is about to be reused (step d+7) or at the drain.
+    S = pl.num_programs(0)
 
-    @pl.when(f != 0)
+    def in_copies(row, par):
+        return [pltpu.make_async_copy(Y.at[row], yr.at[row % 8],
+                                      sems.at[par, 0]),
+                pltpu.make_async_copy(C.at[row], cr_.at[row % 8],
+                                      sems.at[par, 1])]
+
+    def r_copies(row, par):
+        return [pltpu.make_async_copy(RY.at[row], ry.at[row % 2],
+                                      sems.at[par, 2]),
+                pltpu.make_async_copy(RC.at[row], rc.at[row % 2],
+                                      sems.at[par, 3]),
+                pltpu.make_async_copy(P.at[row], pp.at[row % 2],
+                                      sems.at[par, 4])]
+
+    def out_copies(row, par):
+        return [pltpu.make_async_copy(yr.at[row % 8], Yo.at[row],
+                                      osems.at[par, 0]),
+                pltpu.make_async_copy(cr_.at[row % 8], Co.at[row],
+                                      osems.at[par, 1])]
+
+    @pl.when(d == 0)
     def _():
-        for cp in rcps:
+        for cp in in_copies(0, 0):
             cp.start()
+        @pl.when(flags[0] != 0)
+        def _():
+            for cp in r_copies(0, 0):
+                cp.start()
 
-    for cp in cps:
+    @pl.when(d + 1 < S)
+    def _():
+        # slot (d+1)%8 still holds row d-7; its out started at step d-7
+        @pl.when(d >= 7)
+        def _():
+            for cp in out_copies(d - 7, (d - 7) % 8):
+                cp.wait()
+        for cp in in_copies(d + 1, (d + 1) % 2):
+            cp.start()
+        @pl.when(flags[d + 1] != 0)
+        def _():
+            for cp in r_copies(d + 1, (d + 1) % 2):
+                cp.start()
+
+    for cp in in_copies(d, d % 2):
         cp.wait()
 
-    @pl.when(f != 0)
-    def _compute():
-        for cp in rcps:
+    @pl.when(flags[d] == 1)
+    def _compute_no_i4():
+        for cp in r_copies(d, d % 2):
             cp.wait()
-        _intra_compute(M16, M8, MP16, W4, RND, SHF,
-                       yr, cr_, ry, rc, pp, d, sl, LS, _t16, _t8)
+        _intra_compute(M16, M8, MP16, W4, RND, SHF, yr, cr_, ry, rc,
+                       pp, d, d % 8, LS, _t16, _t8, with_i4=False)
 
-    o_y = pltpu.make_async_copy(yr.at[sl], Yo.at[d], sems.at[5])
-    o_c = pltpu.make_async_copy(cr_.at[sl], Co.at[d], sems.at[6])
-    o_y.start(); o_c.start()
-    o_y.wait(); o_c.wait()
+    @pl.when(flags[d] >= 2)
+    def _compute_full():
+        for cp in r_copies(d, d % 2):
+            cp.wait()
+        _intra_compute(M16, M8, MP16, W4, RND, SHF, yr, cr_, ry, rc,
+                       pp, d, d % 8, LS, _t16, _t8, with_i4=True)
+
+    for cp in out_copies(d, d % 8):
+        cp.start()
+
+    @pl.when(d == S - 1)
+    def _():
+        for k in range(8):
+            @pl.when(d - k >= 0)
+            def _(k=k):
+                for cp in out_copies(d - k, (d - k) % 8):
+                    cp.wait()
 
 
 def _intra_compute(M16, M8, MP16, W4, RND, SHF, yr, cr_, ry, rc, pp,
-                   d, sl, LS, _t16, _t8):
-    p = pp[...]
+                   d, sl, LS, _t16, _t8, with_i4=True):
+    p = pp[d % 2]
     av_a = p[:, 0:1]
     av_b = p[:, 1:2]
     av_c = p[:, 2:3]
@@ -548,16 +596,16 @@ def _intra_compute(M16, M8, MP16, W4, RND, SHF, yr, cr_, ry, rc, pp,
     is_i16 = p[:, 5:6]
 
     own0 = yr[sl]
-    res = ry[...]
+    res = ry[d % 2]
 
     def shift_up(a):
         return jnp.concatenate(
             [jnp.zeros((1, a.shape[1]), jnp.int32), a[:-1]], axis=0)
 
-    A = yr[(sl - 1) % 4]
-    Bm = shift_up(yr[(sl - 2) % 4])
-    Cm = shift_up(yr[(sl - 1) % 4])
-    Dm = shift_up(yr[(sl - 3) % 4])
+    A = yr[(sl - 1) % 8]
+    Bm = shift_up(yr[(sl - 2) % 8])
+    Cm = shift_up(yr[(sl - 1) % 8])
+    Dm = shift_up(yr[(sl - 3) % 8])
 
     # cross-MB top context [LS,21]: [D(15,15) | B row15 | C row15 0:4]
     up_row = jnp.concatenate(
@@ -571,9 +619,12 @@ def _intra_compute(M16, M8, MP16, W4, RND, SHF, yr, cr_, ry, rc, pp,
     left_col = jnp.where(av_a > 0, TA[:, 240:256], 0)   # [LS,16]
 
     # ---- Intra4x4: z-order sequential blocks --------------------------
+    # with_i4=False (flag value 1): no I4x4 MB on this diagonal — the
+    # z-order chain and its transposes are skipped; X stays own0 and
+    # the final is_i4 select never picks it.
     X = own0
-    TX = _t16(own0)
-    for z, (bx, by) in enumerate(_ZBLK):
+    TX = _t16(own0) if with_i4 else None
+    for z, (bx, by) in enumerate(_ZBLK if with_i4 else ()):
         mode = p[:, 9 + z:10 + z]
         # up pels [ul | up0..3 | ur0..3]
         if by == 0:
@@ -678,10 +729,10 @@ def _intra_compute(M16, M8, MP16, W4, RND, SHF, yr, cr_, ry, rc, pp,
 
     # ---- chroma (cb lanes 0:64, cr 64:128) -----------------------------
     cown = cr_[sl]
-    cres = rc[...]
-    Ac = cr_[(sl - 1) % 4]
-    Bc = shift_up(cr_[(sl - 2) % 4])
-    Dc = shift_up(cr_[(sl - 3) % 4])
+    cres = rc[d % 2]
+    Ac = cr_[(sl - 1) % 8]
+    Bc = shift_up(cr_[(sl - 2) % 8])
+    Dc = shift_up(cr_[(sl - 3) % 8])
     TAc = _t8(Ac)
 
     def cplane(off):
@@ -756,8 +807,11 @@ def intra_wavefront(Y, C, RY, RC, P, interpret: bool = False):
     so the kernel skips the whole prediction body on intra-free
     diagonals — the common case in P frames."""
     S, LS = Y.shape[0], Y.shape[1]
-    # flags[d] = 1 iff any MB on diagonal d is intra (P lane 8)
-    flags = jnp.max(P[:, :, 8], axis=1).astype(jnp.int32)
+    # flags[d]: bit 0 = any intra MB on diagonal d (P lane 8), bit 1 =
+    # any I4x4 MB (P lane 4) — value 1 runs the body without the
+    # z-order chain, value 3 the full body
+    flags = (jnp.max(P[:, :, 8], axis=1)
+             + 2 * jnp.max(P[:, :, 4], axis=1)).astype(jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S,),
@@ -765,12 +819,13 @@ def intra_wavefront(Y, C, RY, RC, P, interpret: bool = False):
         + [pl.BlockSpec(memory_space=pl.ANY)] * 5,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         scratch_shapes=[
-            pltpu.VMEM((4, LS, 256), jnp.int32),
-            pltpu.VMEM((4, LS, 128), jnp.int32),
-            pltpu.VMEM((LS, 256), jnp.int32),
-            pltpu.VMEM((LS, 128), jnp.int32),
-            pltpu.VMEM((LS, 128), jnp.int32),
-            pltpu.SemaphoreType.DMA((7,)),
+            pltpu.VMEM((8, LS, 256), jnp.int32),
+            pltpu.VMEM((8, LS, 128), jnp.int32),
+            pltpu.VMEM((2, LS, 256), jnp.int32),
+            pltpu.VMEM((2, LS, 128), jnp.int32),
+            pltpu.VMEM((2, LS, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA((8, 2)),
         ],
     )
     return pl.pallas_call(
